@@ -1,0 +1,131 @@
+"""Gigablast-compatible Zobrist string hashing, vectorized with numpy.
+
+The reference engine keys its entire frontier on ``hash64b(url)`` — a
+position×byte XOR against a fixed 256×256 uint64 table ``g_hashtab``
+(reference: hash.h:59-67).  The table is generated from glibc ``rand()``
+seeded with 1945687 (reference: hash.cpp:21-60) and self-checked via
+``g_hashtab[0][0] == 6720717044602784129``.  We regenerate the identical
+table bit-exactly through ``ctypes``/libc and cache it as an ``.npy``
+artifact next to this module, so every hash (and therefore the crawl
+ordering and the URL-seen set) matches the reference.
+
+``uh48`` is the low 48 bits of ``hash64b`` (reference: Spider.h:729-732);
+Gigablast treats uh48 equality as URL equality ("probable match"), and so
+do we.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_ARTIFACT = os.path.join(os.path.dirname(__file__), "_hashtab.npy")
+
+#: reference: hash.cpp:58 — the self-check constant for g_hashtab[0][0]
+_CHECK_00 = 6720717044602784129
+
+UH48_MASK = (1 << 48) - 1
+
+
+def _generate_table() -> np.ndarray:
+    """Regenerate g_hashtab via glibc rand() seeded 1945687.
+
+    Mirrors the loop at reference hash.cpp:36-47: per cell,
+    ``hi = rand(); maybe |= 0x80000000; lo = rand(); maybe |= 0x80000000``
+    where "maybe" consumes one extra rand() and fires when it exceeds
+    RAND_MAX/2.
+    """
+    import ctypes
+
+    libc = ctypes.CDLL("libc.so.6")
+    libc.srand(1945687)
+    raw = np.fromiter(
+        (libc.rand() for _ in range(256 * 256 * 4)), dtype=np.int64, count=256 * 256 * 4
+    ).reshape(-1, 4)
+    half = 0x7FFFFFFF // 2
+    hi = raw[:, 0] | np.where(raw[:, 1] > half, 0x80000000, 0)
+    lo = raw[:, 2] | np.where(raw[:, 3] > half, 0x80000000, 0)
+    tab = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    tab = tab.reshape(256, 256)
+    if int(tab[0, 0]) != _CHECK_00:
+        raise RuntimeError("g_hashtab regeneration mismatch — non-glibc rand()?")
+    return tab
+
+
+def _load_table() -> np.ndarray:
+    if os.path.exists(_ARTIFACT):
+        tab = np.load(_ARTIFACT)
+        if tab.shape == (256, 256) and int(tab[0, 0]) == _CHECK_00:
+            return tab
+    tab = _generate_table()
+    try:  # cache for the next worker; best-effort
+        tmp = _ARTIFACT + f".tmp{os.getpid()}"
+        np.save(tmp, tab)
+        os.replace(tmp, _ARTIFACT)
+    except OSError:
+        pass
+    return tab
+
+
+HASHTAB: np.ndarray = _load_table()
+
+
+def hash64b(s: str | bytes) -> int:
+    """Scalar hash64b (reference hash.h:59-67): XOR of HASHTAB[i & 0xff][byte]."""
+    b = s.encode("utf-8") if isinstance(s, str) else s
+    h = np.uint64(0)
+    for i, c in enumerate(b):
+        h ^= HASHTAB[i & 0xFF, c]
+    return int(h)
+
+
+def uh48(s: str | bytes) -> int:
+    """48-bit URL hash (reference Spider.h:729-732)."""
+    return hash64b(s) & UH48_MASK
+
+
+def hash64b_batch(strings) -> np.ndarray:
+    """Vectorized hash64b over a sequence/array of strings → uint64 ndarray.
+
+    One table gather + one XOR-reduceat per batch; no Python loop over rows.
+    """
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    if (lens == 0).any():
+        # empty strings hash to 0; handle via masking below
+        pass
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    # position of each byte within its string, masked to 8 bits like the
+    # reference's (unsigned char)i cast
+    pos = (np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)) & 0xFF
+    vals = HASHTAB[pos, flat]
+    out = np.zeros(len(enc), dtype=np.uint64)
+    nonempty = lens > 0
+    if flat.size:
+        red = np.bitwise_xor.reduceat(vals, np.minimum(starts, flat.size - 1))
+        # reduceat with duplicate indices (empty strings) returns the element
+        # at that index; zero those out
+        out[nonempty] = red[nonempty]
+    return out
+
+
+def uh48_batch(strings) -> np.ndarray:
+    return hash64b_batch(strings) & np.uint64(UH48_MASK)
+
+
+def hash32_batch(strings) -> np.ndarray:
+    """32-bit host/domain/site hashes.
+
+    The reference uses a separate hash32 family (hash.h) for these; only
+    uh48 must be bit-exact for crawl ordering / URL-seen, so for internal
+    keys we derive 32-bit hashes from hash64b (documented divergence).
+    """
+    return (hash64b_batch(strings) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def hash32(s: str | bytes) -> int:
+    return hash64b(s) & 0xFFFFFFFF

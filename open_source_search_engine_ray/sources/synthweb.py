@@ -1,0 +1,410 @@
+"""Deterministic synthetic web: the crawl engine's input fixture.
+
+Mirrors the reference's test strategy (test/system/ serves a synthetic web
+through a local httpserver; html/test.warc.gz is a canned corpus): a seeded
+host graph with Zipf-ish outdegree, hub hosts for skew, shared IPs for
+per-IP politeness, robots.txt variants, latency + failure modes, and a
+fixed fraction of duplicate URLs via non-canonical spellings to exercise
+URL-seen (FIXTURES.md §1-§3).
+
+Everything is *procedural*: page content is recomputed from
+``(seed, host_idx, page_idx)`` alone, so the fetch stage needs only the
+small host-config table (broadcast via ``ray.put``) — no corpus shipping.
+That is the property that lets the same fetch stage scale to a 10^10-URL
+frontier: a real deployment swaps ``fetch_url`` for an HTTP client and
+keeps every other stage unchanged.
+
+HTML round-trip: ``render_html(spans)`` → ``parse_html`` reproduces the
+span sequence (kind, text, media_ref, offset) exactly — the per-row
+invariant from BASELINE.json's input_hint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.urlnorm import canonicalize
+
+USER_AGENT = "gigablastbot"
+
+_WORDS = (
+    "data crawl spider frontier ray arrow lance shard queue host page link "
+    "media image video robot delay fetch parse index hash bloom filter "
+    "priority wave politeness seed graph zipf hub skew"
+).split()
+
+
+def _rng(*key) -> np.random.Generator:
+    h = hashlib.sha256(("|".join(map(str, key))).encode()).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "little")))
+
+
+_ROBOTS_TEMPLATES = [
+    # plain allow-all (no groups)
+    "",
+    # default group, disallow a subtree + wildcard + anchor
+    (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /*.cgi$\n"
+        "Allow: /private/ok.html\n"
+    ),
+    # UA-specific group overrides default (reference Robots.cpp:330-346)
+    (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        f"User-agent: {USER_AGENT}\n"
+        "Disallow: /private/\n"
+        "Crawl-delay: 0.5\n"
+    ),
+    # crawl-delay only
+    "User-agent: *\nCrawl-delay: 2\n",
+    # blocked entirely
+    "User-agent: *\nDisallow: /\n",
+    # crawl-delay above the 60 s clamp (SpiderColl.cpp:4123-4126)
+    "User-agent: *\nCrawl-delay: 120\n",
+]
+# template index per host-mod; most hosts allow-all
+_ROBOTS_PICK = [0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 0, 0, 0, 1, 0, 0, 0, 4, 0, 5]
+
+_FAIL_PICK = ["", "", "", "", "", "", "", "", "", "", "", "", "", "dns", "", "", "", "", "http_500", ""]
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_hosts: int = 50
+    n_hubs: int = 3
+    hub_pages: int = 60
+    max_pages: int = 12
+    seed: int = 42
+    dup_link_frac: float = 0.15
+    cross_host_frac: float = 0.45
+
+    def scaled(self) -> "WebConfig":
+        return self
+
+
+class SynthWeb:
+    """Procedural synthetic web. All methods are pure given the config."""
+
+    def __init__(self, cfg: WebConfig = WebConfig()):
+        self.cfg = cfg
+        n = cfg.n_hosts
+        self.hosts = [self.host_name(i) for i in range(n)]
+        self._host_idx = {h: i for i, h in enumerate(self.hosts)}
+        # several hosts share an IP (per-IP politeness, Spider.h:142-153)
+        self.ips = np.array(
+            [0x0A000000 + (i if i % 7 else i // 2) for i in range(n)], dtype=np.int64
+        )
+        self.page_counts = np.array([self._page_count(i) for i in range(n)], dtype=np.int64)
+
+    # -- host-level config ------------------------------------------------
+    def host_name(self, i: int) -> str:
+        return f"www.h{i:04d}.test" if i % 5 else f"h{i:04d}.test"
+
+    def _page_count(self, i: int) -> int:
+        if i < self.cfg.n_hubs:
+            return self.cfg.hub_pages
+        r = _rng(self.cfg.seed, "pages", i)
+        return int(r.integers(1, self.cfg.max_pages + 1))
+
+    def robots_txt(self, i: int) -> str:
+        return _ROBOTS_TEMPLATES[_ROBOTS_PICK[i % len(_ROBOTS_PICK)]]
+
+    def latency_ms(self, i: int) -> int:
+        return int(20 + (i * 37) % 180)
+
+    def fail_mode(self, i: int) -> str:
+        return _FAIL_PICK[i % len(_FAIL_PICK)]
+
+    def host_table(self) -> dict:
+        """Columnar host metadata (FIXTURES.md §2) — the only broadcast."""
+        n = self.cfg.n_hosts
+        return {
+            "host": np.array(self.hosts, dtype=object),
+            "ip": self.ips.copy(),
+            "robots_txt": np.array([self.robots_txt(i) for i in range(n)], dtype=object),
+            "latency_ms": np.array([self.latency_ms(i) for i in range(n)], dtype=np.int64),
+            "fail_mode": np.array([self.fail_mode(i) for i in range(n)], dtype=object),
+            "n_pages": self.page_counts.copy(),
+        }
+
+    # -- page-level content ----------------------------------------------
+    def page_url(self, host_i: int, page_i: int) -> str:
+        host = self.hosts[host_i]
+        if page_i == 0:
+            return f"http://{host}/"
+        if page_i % 9 == 4:
+            return f"http://{host}/private/p{page_i}.html"
+        return f"http://{host}/p{page_i}.html"
+
+    def url_to_page(self, url: str):
+        """Inverse of page_url for canonical URLs → (host_i, page_i) or None."""
+        m = re.match(r"https?://([^/:]+)(?::\d+)?(/[^?#]*)", url)
+        if not m:
+            return None
+        host, path = m.group(1), m.group(2)
+        i = self._host_idx.get(host)
+        if i is None:
+            return None
+        if path == "/":
+            return (i, 0)
+        pm = re.match(r"^(?:/private)?/p(\d+)\.html$", path)
+        if not pm:
+            return None
+        p = int(pm.group(1))
+        if p >= self.page_counts[i]:
+            return None
+        return (i, p)
+
+    def page_spans(self, host_i: int, page_i: int) -> list:
+        """The span sequence for a page: list of dicts
+        (kind, text, media_ref, offset) in ascending offset order."""
+        cfg = self.cfg
+        r = _rng(cfg.seed, "page", host_i, page_i)
+        n_spans = int(r.integers(3, 21))
+        spans = []
+        for off in range(n_spans):
+            roll = r.random()
+            if roll < 0.45:
+                words = r.choice(_WORDS, size=int(r.integers(3, 12)))
+                spans.append(
+                    {"kind": "text", "text": " ".join(words), "media_ref": "", "offset": off}
+                )
+            elif roll < 0.80:
+                target = self._link_target(r, host_i)
+                anchor = " ".join(r.choice(_WORDS, size=2))
+                spans.append(
+                    {"kind": "link", "text": anchor, "media_ref": target, "offset": off}
+                )
+            elif roll < 0.92:
+                ref = f"http://{self.hosts[host_i]}/img{int(r.integers(0, 50))}.jpg"
+                spans.append(
+                    {"kind": "image", "text": "alt " + str(r.integers(0, 9)), "media_ref": ref, "offset": off}
+                )
+            else:
+                ref = f"http://{self.hosts[host_i]}/vid{int(r.integers(0, 20))}.mp4"
+                spans.append(
+                    {"kind": "video", "text": "clip " + str(r.integers(0, 9)), "media_ref": ref, "offset": off}
+                )
+        return spans
+
+    def _link_target(self, r: np.random.Generator, host_i: int) -> str:
+        cfg = self.cfg
+        if r.random() < cfg.cross_host_frac:
+            # Zipf-ish hub bias over all hosts
+            z = min(int(r.zipf(1.4)) - 1, cfg.n_hosts - 1)
+            tgt_host = z
+        else:
+            tgt_host = host_i
+        tgt_page = int(r.integers(0, self.page_counts[tgt_host]))
+        url = self.page_url(tgt_host, tgt_page)
+        roll = r.random()
+        if roll >= cfg.dup_link_frac:
+            return url
+        # non-canonical spelling of the same target (URL-seen exercise)
+        variant = int(r.integers(0, 5))
+        if variant == 0:
+            return url + ("?PHPSESSID=" + format(int(r.integers(0, 1 << 30)), "x"))
+        if variant == 1:
+            return url + "#frag" + str(int(r.integers(0, 9)))
+        if variant == 2:
+            m = re.match(r"http://([^/]+)(/.*)", url)
+            return "http://" + m.group(1).upper() + m.group(2)
+        if variant == 3:
+            m = re.match(r"http://([^/]+)(/.*)", url)
+            return "http://" + m.group(1) + ":80" + m.group(2)
+        # relative form — only meaningful for same-host targets
+        if tgt_host == host_i:
+            m = re.match(r"http://[^/]+/(.*)", url)
+            return "/" + m.group(1)
+        return url
+
+    # -- all-pages iterators (fixture materialization) --------------------
+    def iter_pages(self):
+        for i in range(self.cfg.n_hosts):
+            for p in range(int(self.page_counts[i])):
+                yield i, p
+
+    def total_pages(self) -> int:
+        return int(self.page_counts.sum())
+
+    def documents_table(self):
+        """Materialize the full corpus in the input_hint shape:
+        (doc_id:string, spans:list<struct<kind,text,media_ref,offset>>)."""
+        import pyarrow as pa
+
+        doc_ids, spans = [], []
+        for i, p in self.iter_pages():
+            doc_ids.append(self.page_url(i, p))
+            spans.append(self.page_spans(i, p))
+        span_type = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(spans, span_type)}
+        )
+
+    def seeds(self) -> list:
+        """Seed URLs: roots of every 3rd host, mixed spellings
+        (FIXTURES.md §3).  Stride 3 is coprime with the robots-template
+        period so seeds land on hosts with disallow rules, UA-specific
+        groups, crawl-delays, and failure modes."""
+        out = []
+        for i in range(0, self.cfg.n_hosts, 3):
+            u = self.page_url(i, 0)
+            if i % 8 == 4:
+                u = u.rstrip("/").upper() + "/"  # non-canonical spelling
+            out.append(u)
+        return out
+
+    def site_list(self) -> list:
+        """Site-list lines: all fixture domains except every 17th host
+        (exercises the '!insitelist → force delete' rule)."""
+        lines = []
+        for i in range(self.cfg.n_hosts):
+            if i % 17 == 13:
+                continue
+            host = self.hosts[i]
+            dom = host[4:] if host.startswith("www.") else host
+            lines.append(dom)
+        return lines
+
+
+# ---------------------------------------------------------------------------
+# HTML render / parse — the spans ↔ HTML round trip
+# ---------------------------------------------------------------------------
+
+_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+_UNESC = {v: k for k, v in _ESC.items()}
+
+
+def _esc(s: str) -> str:
+    return re.sub(r"[&<>\"]", lambda m: _ESC[m.group(0)], s)
+
+
+def _unesc(s: str) -> str:
+    return re.sub(r"&(?:amp|lt|gt|quot);", lambda m: _UNESC[m.group(0)], s)
+
+
+def render_html(spans, title: str = "") -> str:
+    """Serialize a span sequence to HTML (spans must be offset-ordered)."""
+    parts = [f"<html><head><title>{_esc(title)}</title></head><body>"]
+    for s in spans:
+        k = s["kind"]
+        if k == "text":
+            parts.append(f"<p>{_esc(s['text'])}</p>")
+        elif k == "link":
+            parts.append(f'<a href="{_esc(s["media_ref"])}">{_esc(s["text"])}</a>')
+        elif k == "image":
+            parts.append(f'<img src="{_esc(s["media_ref"])}" alt="{_esc(s["text"])}">')
+        elif k == "video":
+            parts.append(f'<video src="{_esc(s["media_ref"])}">{_esc(s["text"])}</video>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+_NODE = re.compile(
+    r"<p>(?P<text>.*?)</p>"
+    r'|<a href="(?P<href>[^"]*)">(?P<anchor>.*?)</a>'
+    r'|<img src="(?P<img>[^"]*)" alt="(?P<alt>[^"]*)">'
+    r'|<video src="(?P<vid>[^"]*)">(?P<vtext>.*?)</video>',
+    re.S,
+)
+
+
+def parse_html(html: str) -> list:
+    """Parse HTML back into the span sequence (kind, text, media_ref,
+    offset).  The engine-side equivalent of the reference's
+    Xml/Words/Links node extraction (Xml.cpp, XmlDoc.cpp:15227-15258) for
+    the fixture's HTML subset."""
+    spans = []
+    off = 0
+    for m in _NODE.finditer(html):
+        if m.group("text") is not None:
+            spans.append(
+                {"kind": "text", "text": _unesc(m.group("text")), "media_ref": "", "offset": off}
+            )
+        elif m.group("href") is not None:
+            spans.append(
+                {
+                    "kind": "link",
+                    "text": _unesc(m.group("anchor")),
+                    "media_ref": _unesc(m.group("href")),
+                    "offset": off,
+                }
+            )
+        elif m.group("img") is not None:
+            spans.append(
+                {
+                    "kind": "image",
+                    "text": _unesc(m.group("alt")),
+                    "media_ref": _unesc(m.group("img")),
+                    "offset": off,
+                }
+            )
+        else:
+            spans.append(
+                {
+                    "kind": "video",
+                    "text": _unesc(m.group("vtext")),
+                    "media_ref": _unesc(m.group("vid")),
+                    "offset": off,
+                }
+            )
+        off += 1
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Fetch simulation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FetchResult:
+    url: str
+    http_status: int
+    err_code: int  # urlfilter.ERR_* vocabulary
+    html: str
+    latency_ms: int
+    robots_txt: str  # body served for this host ("" = none)
+
+
+def fetch_url(web: SynthWeb, url: str) -> FetchResult:
+    """Simulate one HTTP fetch against the synthetic web.  Deterministic;
+    robots gating is NOT applied here (the scheduler owns it, as in the
+    reference where Msg13 checks robots before the GET,
+    XmlDoc.cpp:7115-7360)."""
+    from ..functions import urlfilter as uf
+
+    loc = web.url_to_page(canonicalize(url) or url)
+    m = re.match(r"https?://([^/:]+)", url)
+    host = m.group(1).lower() if m else ""
+    hi = web._host_idx.get(host)
+    if hi is None:
+        return FetchResult(url, 0, uf.ERR_DNS, "", 50, "")
+    fail = web.fail_mode(hi)
+    lat = web.latency_ms(hi)
+    robots = web.robots_txt(hi)
+    if fail == "dns":
+        return FetchResult(url, 0, uf.ERR_DNS, "", lat, robots)
+    if fail == "tcp_timeout":
+        return FetchResult(url, 0, uf.ERR_TCP_TIMEOUT, "", lat, robots)
+    if fail == "http_500":
+        return FetchResult(url, 500, uf.ERR_HTTP_500, "", lat, robots)
+    if loc is None:
+        return FetchResult(url, 404, uf.ERR_HTTP_404, "", lat, robots)
+    spans = web.page_spans(*loc)
+    return FetchResult(url, 200, uf.ERR_NONE, render_html(spans, title=url), lat, robots)

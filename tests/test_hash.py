@@ -1,0 +1,41 @@
+"""Bit-exactness of the Gigablast hash kernels (reference hash.h/hash.cpp)."""
+
+import numpy as np
+
+from open_source_search_engine_ray.functions import gbhash
+
+
+def test_table_checksum():
+    # reference hash.cpp:58 — the self-check constant
+    assert int(gbhash.HASHTAB[0, 0]) == 6720717044602784129
+
+
+def test_hash64b_reference_algorithm():
+    # independently recompute hash64b for a few strings straight from the
+    # table (hash.h:59-67): h ^= tab[(uint8)i][(uint8)s[i]]
+    for s in ["http://www.example.com/", "a", "abc" * 200]:
+        b = s.encode()
+        h = np.uint64(0)
+        for i, c in enumerate(b):
+            h ^= gbhash.HASHTAB[i & 0xFF, c]
+        assert gbhash.hash64b(s) == int(h)
+
+
+def test_batch_matches_scalar():
+    urls = ["http://h0.test/", "https://www.x.test/p1.html?a=b", "", "q" * 300]
+    batch = gbhash.hash64b_batch(urls)
+    for u, hv in zip(urls, batch):
+        if u:
+            assert int(hv) == gbhash.hash64b(u)
+    assert int(batch[2]) == 0  # empty string
+
+
+def test_uh48_is_low_48_bits():
+    u = "http://www.h0001.test/p3.html"
+    assert gbhash.uh48(u) == gbhash.hash64b(u) & ((1 << 48) - 1)
+    assert gbhash.uh48_batch([u])[0] == gbhash.uh48(u)
+
+
+def test_order_sensitivity():
+    # "don't use XOR for hashing, dog would be the same as god" (hash.h:3)
+    assert gbhash.hash64b("dog") != gbhash.hash64b("god")

@@ -1,0 +1,138 @@
+"""URL-filter DSL evaluation vectors (reference Spider.cpp:2202-3703 and
+the default web profile Collectiondb.cpp:1396-1622)."""
+
+import numpy as np
+
+from open_source_search_engine_ray.functions.urlfilter import (
+    ERR_DNS,
+    ERR_HTTP_404,
+    FilterProgram,
+    SiteList,
+    UrlFilterRule,
+    candidate_columns,
+    default_web_rules,
+)
+
+WEB = FilterProgram(default_web_rules())
+
+
+def cand(**kw):
+    c = candidate_columns(1)
+    c["url"][0] = kw.pop("url", "http://www.x.test/")
+    c["tld"][0] = kw.pop("tld", "test")
+    c["lang"][0] = kw.pop("lang", "en")
+    c["in_sitelist"][0] = kw.pop("in_sitelist", True)
+    for k, v in kw.items():
+        c[k][0] = v
+    return c
+
+
+def rule_of(**kw):
+    return int(WEB.assign(cand(**kw))[0])
+
+
+def expr(i):
+    return WEB.rules[i].expression
+
+
+def test_default_profile_first_match_semantics():
+    # new www root page in the site list → "hopcount==0 && iswww && isnew"
+    assert expr(rule_of(hop_count=0, is_www=True)) == "hopcount==0 && iswww && isnew"
+    # same but already replied → "hopcount==0 && iswww"
+    assert expr(rule_of(hop_count=0, is_www=True, had_reply=True, spidered_time=50)) == (
+        "hopcount==0 && iswww"
+    )
+    assert expr(rule_of(hop_count=1)) == "hopcount==1 && isnew"
+    assert expr(rule_of(hop_count=7)) == "hopcount>=3 && isnew"
+    assert expr(rule_of(hop_count=7, had_reply=True)) == "hopcount>=3"
+
+
+def test_not_in_sitelist_force_delete():
+    i = rule_of(hop_count=0, in_sitelist=False)
+    assert expr(i) == "!ismanualadd && !insitelist"
+    assert WEB.force_delete[i]
+    # manual adds are exempt
+    j = rule_of(hop_count=0, in_sitelist=False, is_addurl=True, is_manualadd=True)
+    assert expr(j) == "isaddurl"
+
+
+def test_error_retry_rules():
+    # one tmp error → priority-45 retry rule
+    i = rule_of(had_reply=True, err_count=1, err_code=ERR_DNS, spidered_time=10)
+    assert expr(i) == "errorcount>=1 && hastmperror"
+    # three tmp errors → delete
+    i = rule_of(had_reply=True, err_count=3, err_code=ERR_DNS, spidered_time=10)
+    assert expr(i) == "errorcount>=3 && hastmperror"
+    assert WEB.force_delete[i]
+    # permanent error (404) → "errorcount>=1" delete row
+    i = rule_of(had_reply=True, err_count=1, err_code=ERR_HTTP_404, spidered_time=10)
+    assert expr(i) == "errorcount>=1"
+    assert WEB.force_delete[i]
+
+
+def test_reindex_and_numinlinks():
+    assert expr(rule_of(is_reindex=True)) == "isreindex"
+    assert expr(rule_of(hop_count=2, num_inlinks=8)) == "numinlinks>7 && isnew"
+    assert (
+        expr(rule_of(hop_count=2, num_inlinks=8, had_reply=True)) == "numinlinks>7"
+    )
+
+
+def test_vectorized_assignment_order_independent():
+    c = candidate_columns(3)
+    c["url"][:] = ["http://a.test/", "http://b.test/", "http://c.test/"]
+    c["tld"][:] = "test"
+    c["lang"][:] = "en"
+    c["in_sitelist"][:] = True
+    c["hop_count"][:] = [0, 1, 9]
+    got = WEB.assign(c)
+    assert [expr(i) for i in got] == [
+        "hopcount==0 && isnew",
+        "hopcount==1 && isnew",
+        "hopcount>=3 && isnew",
+    ]
+
+
+def test_custom_string_predicates():
+    prog = FilterProgram(
+        [
+            UrlFilterRule("tld==gov,edu", 60, 7),
+            UrlFilterRule("^http://news.", 55, 1),
+            UrlFilterRule("$.rss", 53, 1),
+            UrlFilterRule("forum", 22, 30),
+            UrlFilterRule("lang!=en", 5, 90),
+            UrlFilterRule("default", 1, 30),
+        ]
+    )
+    def one(**kw):
+        return prog.rules[int(prog.assign(cand(**kw))[0])].expression
+
+    assert one(url="http://x.gov/", tld="gov") == "tld==gov,edu"
+    assert one(url="http://news.x.test/") == "^http://news."
+    assert one(url="http://x.test/feed.rss") == "$.rss"
+    assert one(url="http://x.test/forum/1") == "forum"
+    assert one(url="http://x.test/", lang="de") == "lang!=en"
+    assert one(url="http://x.test/") == "default"
+
+
+def test_site_list():
+    sl = SiteList(
+        [
+            "h0001.test",
+            "http://special.test/onlythis/",
+            "contains:goodword",
+            "-h0002.test",
+            "# comment",
+            "",
+        ]
+    )
+    assert sl.matches("http://www.h0001.test/x", "h0001.test")
+    assert not sl.matches("http://www.h0002.test/x", "h0002.test")
+    assert sl.matches("http://special.test/onlythis/a.html", "special.test")
+    assert not sl.matches("http://special.test/other/", "special.test")
+    assert sl.matches("http://z.test/goodword/1", "z.test")
+    m = sl.matches_batch(
+        np.array(["http://www.h0001.test/", "http://q.test/"], dtype=object),
+        np.array(["h0001.test", "q.test"], dtype=object),
+    )
+    assert m.tolist() == [True, False]
