@@ -1,0 +1,385 @@
+"""The crawl engine: a discrete-virtual-time wave loop over Ray Data.
+
+Topology per wave (reference lifecycle §3 of SURVEY.md):
+
+    FrontierActor.schedule(now)  --launch batches-->  ray.data.from_arrow
+        → map_batches(FetchStage)   (robots gate + download)
+        → map_batches(ParseStage)   (spans, reply, outlinks)
+        → map_batches(route_back)   (docs → partitioned parquet;
+                                     replies/requests → owning FrontierActor)
+
+Virtual time: the driver advances ``now`` to the minimum next-event time
+across partitions (the waiting-tree minimum, SpiderColl.cpp:1309-1403);
+politeness intervals are enforced in virtual ms so the crawl ordering is
+deterministic and reproducible against the sequential oracle
+(``engine="local"``), which runs the *same* FrontierCore and stage code
+single-threaded.  A real-time deployment sets ``now = wall clock`` and
+the same code paces real fetches.
+
+Scale design: one FrontierActor per partition owns each politeness
+domain exclusively (hash(first_ip) % P shuffle key); fetch/parse are
+horizontal map_batches stages; documents are written one directory per
+wave (resumable); frontier state checkpoints per partition with lineage
+(wave id) so a killed run resumes from the last completed wave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources.synthweb import SynthWeb, WebConfig
+from ..stages.canonicalize import make_request_columns, split_by_partition
+from ..stages.fetch import (
+    RECORD_SCHEMA,
+    FetchStage,
+    ParseStage,
+    fetch_batch,
+    parse_batch,
+)
+from ..state.frontier import (
+    INF,
+    LAUNCH_SCHEMA,
+    REPLY_COLS,
+    REQUEST_COLS,
+    CrawlConfig,
+    FrontierCore,
+    part_of_ip,
+)
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("uh48", pa.uint64()),
+        ("spans", RECORD_SCHEMA.field("spans").type),
+        ("wave", pa.int64()),
+    ]
+)
+
+
+def _table_to_cols(t: pa.Table, names) -> dict:
+    return {c: t[c].to_numpy(zero_copy_only=False) for c in names}
+
+
+def _content_token(kind: str, t: pa.Table) -> str:
+    """Deterministic batch token: parse output is deterministic, so a
+    retried task regenerates the same token and the actor (or the doc
+    writer) applies it exactly once."""
+    import hashlib
+
+    h = hashlib.md5(kind.encode())
+    for col in ("wave", "uh48", "added_time", "parent_ip", "hop_count"):
+        if col in t.column_names:
+            h.update(np.ascontiguousarray(t[col].to_numpy()).tobytes())
+    return h.hexdigest()
+
+
+def _write_doc_table(t: pa.Table, out_dir: str, wave_hint: str):
+    d = os.path.join(out_dir, "docs", f"wave={wave_hint}")
+    os.makedirs(d, exist_ok=True)
+    # content-derived filename → idempotent under Ray task retries
+    name = f"part-{_content_token('doc', t)}.parquet"
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, name))
+
+
+def _split_records(batch: pa.Table):
+    rec = batch["rec"].to_numpy(zero_copy_only=False)
+    docs = batch.filter(pa.array(rec == "doc")).select(["doc_id", "uh48", "spans", "wave"])
+    reqs = batch.filter(pa.array(rec == "request"))
+    reps = batch.filter(pa.array(rec == "reply"))
+    return docs, reqs, reps
+
+
+def _group_parts(t: pa.Table):
+    parts = t["part"].to_numpy()
+    for p in np.unique(parts):
+        yield int(p), t.filter(pa.array(parts == p))
+
+
+class _RouteBack:
+    """Terminal stage: persist docs, return frontier records to their
+    owning partition actor.  The per-batch ray.get is the write-back
+    barrier (reference: Msg4::addMetaList scatter, Msg4.cpp:418-423)."""
+
+    def __init__(self, actors, out_dir: str):
+        self.actors = actors
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        docs, reqs, reps = _split_records(batch)
+        if docs.num_rows:
+            _write_doc_table(docs, self.out_dir, str(docs["wave"][0].as_py()))
+        futs = []
+        for p, sub in _group_parts(reqs):
+            futs.append(
+                self.actors[p].add_requests.remote(
+                    _table_to_cols(sub, REQUEST_COLS), token=_content_token("req", sub)
+                )
+            )
+        for p, sub in _group_parts(reps):
+            futs.append(
+                self.actors[p].complete.remote(
+                    _table_to_cols(sub, REPLY_COLS), token=_content_token("rep", sub)
+                )
+            )
+        if futs:
+            ray.get(futs)
+        return pa.table(
+            {
+                "docs": pa.array([docs.num_rows], pa.int64()),
+                "requests": pa.array([reqs.num_rows], pa.int64()),
+                "replies": pa.array([reps.num_rows], pa.int64()),
+            }
+        )
+
+
+@dataclass
+class CrawlResult:
+    launch_log: pa.Table
+    url_seen: list
+    fetch_log: list
+    metrics: dict
+    docs_dir: str
+    waves: int
+
+    def docs_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        d = os.path.join(self.docs_dir, "docs")
+        if not os.path.isdir(d):
+            return DOC_SCHEMA.empty_table()
+        t = pads.dataset(d, format="parquet").to_table()
+        idx = pa.compute.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        return t.take(idx)
+
+
+def _merge_results(cores_data, out_dir, waves) -> CrawlResult:
+    launch_tbls = [d["launch_log"] for d in cores_data if d["launch_log"].num_rows]
+    launch = (
+        pa.concat_tables(launch_tbls) if launch_tbls else LAUNCH_SCHEMA.empty_table()
+    )
+    if launch.num_rows:
+        idx = pa.compute.sort_indices(
+            launch,
+            sort_keys=[("wave", "ascending"), ("part_id", "ascending"), ("seq", "ascending")],
+        )
+        launch = launch.take(idx)
+    url_seen = sorted(x for d in cores_data for x in d["url_seen"])
+    fetch_log = sorted(x for d in cores_data for x in d["fetch_log"])
+    metrics: dict = {}
+    for d in cores_data:
+        for k, v in d["metrics"].items():
+            metrics[k] = metrics.get(k, 0) + v
+    return CrawlResult(launch, url_seen, fetch_log, metrics, out_dir, waves)
+
+
+def seed_columns(web: SynthWeb, host_ip: dict):
+    return make_request_columns(web.seeds(), host_ip, hop_count=0, added_time=0, parent_ip=0)
+
+
+def run_crawl(
+    web_cfg: WebConfig,
+    cfg: CrawlConfig,
+    out_dir: str,
+    engine: str = "ray",
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run one crawl round.  ``engine="ray"`` = distributed;
+    ``engine="local"`` = the sequential oracle (same semantics, no Ray)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        # a fresh (non-resume) run must not inherit docs/checkpoints from a
+        # previous run in the same directory
+        import shutil
+
+        for sub in ("docs", "checkpoints"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    web = SynthWeb(web_cfg)
+    host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
+    if not cfg.site_list:
+        from dataclasses import replace
+
+        cfg = replace(cfg, site_list=tuple(web.site_list()))
+    if engine == "ray":
+        return _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume)
+    return _run_local(web, host_ip, web_cfg, cfg, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# distributed engine
+# ---------------------------------------------------------------------------
+
+
+def _ckpt_path(out_dir: str, p: int) -> str:
+    return os.path.join(out_dir, "checkpoints", f"part-{p:05d}.ckpt")
+
+
+def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
+    import ray
+    import ray.data as rd
+
+    FrontierActor = ray.remote(num_cpus=0.25)(FrontierCore)
+    P = cfg.num_partitions
+    manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
+    resumed = False
+    if resume and os.path.exists(manifest_path):
+        RestoredActor = ray.remote(num_cpus=0.25)(_RestoredFrontier)
+        blobs = []
+        for p in range(P):
+            with open(_ckpt_path(out_dir, p), "rb") as f:
+                blobs.append(f.read())
+        actors = [RestoredActor.remote(blob) for blob in blobs]
+        with open(manifest_path) as f:
+            ck_wave = json.load(f)["wave"]
+        # drop doc partitions written after the checkpoint (partial waves);
+        # completed waves 1..ck_wave carry doc wave fields 0..ck_wave-1
+        import shutil
+
+        docs_root = os.path.join(out_dir, "docs")
+        if os.path.isdir(docs_root):
+            for d in os.listdir(docs_root):
+                if d.startswith("wave=") and int(d.split("=")[1]) >= ck_wave:
+                    shutil.rmtree(os.path.join(docs_root, d))
+        resumed = True
+    else:
+        actors = [FrontierActor.remote(p, cfg) for p in range(P)]
+    if not resumed:
+        cols = seed_columns(web, host_ip)
+        ray.get(
+            [
+                actors[p].add_requests.remote(sub)
+                for p, sub in split_by_partition(cols, P)
+            ]
+        )
+    now = 0
+    waves = 0
+    stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
+    while True:
+        events = ray.get([a.next_event_ms.remote() for a in actors])
+        nxt = min(events)
+        if nxt >= INF or nxt > cfg.horizon_ms:
+            break
+        now = max(now, nxt)
+        tables = ray.get([a.schedule.remote(now) for a in actors])
+        tables = [t for t in tables if t.num_rows]
+        waves += 1
+        if tables:
+            ds = rd.from_arrow(tables)
+            if cfg.stage_mode == "actors":
+                ds = ds.map_batches(
+                    FetchStage,
+                    fn_constructor_args=(web_cfg, cfg.user_agent),
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=1,
+                    **stage_kw,
+                )
+                ds = ds.map_batches(
+                    ParseStage,
+                    fn_constructor_args=(web_cfg, P),
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=1,
+                    **stage_kw,
+                )
+            else:
+                ds = ds.map_batches(
+                    fetch_batch,
+                    fn_kwargs={"web_cfg": web_cfg, "user_agent": cfg.user_agent},
+                    **stage_kw,
+                )
+                ds = ds.map_batches(
+                    parse_batch,
+                    fn_kwargs={"web_cfg": web_cfg, "num_partitions": P},
+                    **stage_kw,
+                )
+            ds = ds.map_batches(_RouteBack(actors, out_dir), **stage_kw)
+            # consume (small counts table) — this is the wave barrier
+            ds.take_all()
+        if checkpoint_every and waves % checkpoint_every == 0:
+            _checkpoint_all(ray, actors, out_dir, ray.get(actors[0].get_wave.remote()))
+        if cfg.stop_after_waves and waves >= cfg.stop_after_waves:
+            break  # simulated kill (test hook for resume)
+    data = ray.get([a.snapshot.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    return _merge_results(data, out_dir, waves)
+
+
+class _RestoredFrontier(FrontierCore):
+    def __init__(self, blob: bytes):
+        core = FrontierCore.from_checkpoint_bytes(blob)
+        self.__dict__.update(core.__dict__)
+
+
+def _checkpoint_all(ray_mod, actors, out_dir, wave):
+    os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
+    blobs = ray_mod.get(
+        [a.checkpoint_bytes.remote({"wave": wave}) for a in actors]
+    )
+    for p, blob in enumerate(blobs):
+        tmp = _ckpt_path(out_dir, p) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, _ckpt_path(out_dir, p))
+    with open(os.path.join(out_dir, "checkpoints", "MANIFEST.json"), "w") as f:
+        json.dump({"wave": wave, "partitions": len(actors)}, f)
+
+
+# FrontierCore needs a snapshot method for result collection; attach here to
+# keep the state module Ray-agnostic.
+def _snapshot(self) -> dict:
+    return {
+        "launch_log": self.launch_log(),
+        "url_seen": self.url_seen(),
+        "fetch_log": self.fetch_log(),
+        "metrics": self.get_metrics(),
+    }
+
+
+FrontierCore.snapshot = _snapshot
+
+
+# ---------------------------------------------------------------------------
+# sequential oracle
+# ---------------------------------------------------------------------------
+
+
+def _run_local(web, host_ip, web_cfg, cfg, out_dir):
+    P = cfg.num_partitions
+    cores = [FrontierCore(p, cfg) for p in range(P)]
+    cols = seed_columns(web, host_ip)
+    for p, sub in split_by_partition(cols, P):
+        cores[p].add_requests(sub)
+    fetcher = FetchStage(web_cfg, cfg.user_agent)
+    parser = ParseStage(web_cfg, P)
+    now = 0
+    waves = 0
+    while True:
+        nxt = min(c.next_event_ms() for c in cores)
+        if nxt >= INF or nxt > cfg.horizon_ms:
+            break
+        now = max(now, nxt)
+        tables = [c.schedule(now) for c in cores]
+        tables = [t for t in tables if t.num_rows]
+        waves += 1
+        for t in tables:
+            recs = parser(fetcher(t))
+            docs, reqs, reps = _split_records(recs)
+            if docs.num_rows:
+                _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
+            for p, sub in _group_parts(reqs):
+                cores[p].add_requests(_table_to_cols(sub, REQUEST_COLS))
+            for p, sub in _group_parts(reps):
+                cores[p].complete(_table_to_cols(sub, REPLY_COLS))
+    data = [c.snapshot() for c in cores]
+    return _merge_results(data, out_dir, waves)

@@ -1,0 +1,106 @@
+"""Canonicalize + hash + route: the stateless front of the frontier.
+
+Turns raw URL strings into frontier SpiderRequest columns
+(REQUEST_COLS): canonical url, uh48, host/domain hashes, first_ip (via
+the host→IP resolver), partition id.  Reference flow:
+``updateSiteListBuf``/``setFromAddUrl`` building SpiderRequests
+(Spider.cpp:1659-2016, 4286) and the outlink batch at
+XmlDoc.cpp:15007-15520.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import gbhash
+from ..functions.urlnorm import canonicalize, get_domain, get_host
+from ..state.frontier import part_of_ip
+
+
+def resolve_ip(host: str, host_ip: dict) -> int:
+    """Host→first-IP resolution (reference: tagdb firstip tag else DNS,
+    XmlDoc.cpp:6553-6578).  Unknown hosts get a deterministic pseudo-IP
+    derived from the host hash (they will DNS-fail at fetch, producing
+    the same retry/delete semantics as the reference's EDNSTIMEDOUT
+    path)."""
+    ip = host_ip.get(host)
+    if ip is not None:
+        return int(ip)
+    return 0x7F000000 + (gbhash.hash32(host) & 0xFFFFFF)
+
+
+def make_request_columns(
+    raw_urls,
+    host_ip: dict,
+    bases=None,
+    hop_count=0,
+    added_time=0,
+    parent_ip=0,
+    is_addurl=False,
+    is_injecting=False,
+    drop=None,
+):
+    """Build REQUEST_COLS numpy dict from raw URL strings; returns
+    (cols, part_ids).  ``drop``: optional predicate(url_canonical) to
+    reject rows (outlink filter is applied by the caller)."""
+    canon = []
+    for i, u in enumerate(raw_urls):
+        b = bases[i] if bases is not None else None
+        c = canonicalize(u, base=b)
+        canon.append(c)
+    keep = [i for i, c in enumerate(canon) if c is not None and (drop is None or not drop(c))]
+    urls = [canon[i] for i in keep]
+    n = len(urls)
+    hosts = [get_host(u) for u in urls]
+    domains = [get_domain(h) for h in hosts]
+    uh = gbhash.uh48_batch(urls)
+    hop_arr = (
+        np.asarray(hop_count)[keep]
+        if np.ndim(hop_count)
+        else np.full(n, hop_count, dtype=np.int64)
+    )
+    added_arr = (
+        np.asarray(added_time)[keep]
+        if np.ndim(added_time)
+        else np.full(n, added_time, dtype=np.int64)
+    )
+    parent_arr = (
+        np.asarray(parent_ip)[keep]
+        if np.ndim(parent_ip)
+        else np.full(n, parent_ip, dtype=np.int64)
+    )
+    ips = np.fromiter((resolve_ip(h, host_ip) for h in hosts), np.int64, n)
+    cols = {
+        "url": np.array(urls, dtype=object),
+        "uh48": uh,
+        "first_ip": ips,
+        "host": np.array(hosts, dtype=object),
+        "dom_hash32": gbhash.hash32_batch(domains).astype(np.int64),
+        "site_hash32": gbhash.hash32_batch(hosts).astype(np.int64),
+        "hop_count": hop_arr.astype(np.int32),
+        "added_time": added_arr,
+        "parent_ip": parent_arr,
+        "is_injecting": np.full(n, is_injecting, dtype=bool),
+        "is_addurl": np.full(n, is_addurl, dtype=bool),
+        "is_reindex": np.zeros(n, dtype=bool),
+        "fake_first_ip": np.zeros(n, dtype=bool),
+    }
+    return cols
+
+
+def request_cols_to_table(cols: dict) -> pa.Table:
+    return pa.table({k: pa.array(v.tolist() if v.dtype == object else v) for k, v in cols.items()})
+
+
+def split_by_partition(cols: dict, num_partitions: int):
+    """Yield (part_id, cols-subset) — the groupby-shuffle key
+    (SURVEY §7.3: politeness domain → exactly one actor)."""
+    parts = np.fromiter(
+        (part_of_ip(ip, num_partitions) for ip in cols["first_ip"]),
+        np.int32,
+        len(cols["first_ip"]),
+    )
+    for p in np.unique(parts):
+        idx = np.nonzero(parts == p)[0]
+        yield int(p), {k: v[idx] for k, v in cols.items()}

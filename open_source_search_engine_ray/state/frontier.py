@@ -1,0 +1,550 @@
+"""FrontierCore — the per-partition scheduler state machine.
+
+One instance owns one frontier partition (all IPs with
+``part_of_ip(ip) == part_id``), reproducing the reference SpiderColl's
+cooperating structures (SpiderColl.h:26-282) as plain dicts/heaps:
+
+- ``requests``/``replies``     ↔ spiderdb request+reply log (deduped on
+                                 add with the commutative min-(hop,added)
+                                 merge — the outcome of dedupSpiderdbList,
+                                 Spider.cpp:3714-4021)
+- ``waiting``                  ↔ waiting tree: next eligible time per IP,
+                                 exactly one entry per IP, absent while the
+                                 IP has a URL in flight (doledb XOR waiting
+                                 invariant, SpiderColl.cpp:1160-1168)
+- ``schedule()``               ↔ populateDoledbFromWaitingTree +
+                                 scanListForWinners + launch gating
+                                 (SpiderColl.cpp:1812-3292,
+                                 SpiderLoop.cpp:943-1072)
+- ``complete()``               ↔ addSpiderReply: politeness clock + crawl
+                                 delay table updates and IP re-arm
+                                 (SpiderColl.cpp:612, 4098-4126)
+- ``urlseen``                  ↔ dup cache (SpiderColl.cpp:845-904) with
+                                 partitioned bloom segments
+
+The class is deliberately Ray-free: the distributed engine wraps it in a
+``@ray.remote`` actor (pipelines/crawl.py) and the sequential oracle
+(pipelines/oracle.py) drives the same code, so engine-vs-oracle equality
+tests isolate exactly the distributed machinery (shuffle, actor routing,
+parallel fetch).  All cross-partition merges are commutative, so
+route-back arrival order cannot change state.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import gbhash
+from ..functions.schedule import Req, Rep, get_spider_time_ms, select_winners
+from ..functions.urlfilter import FilterProgram, SiteList, default_web_rules
+from ..functions.urlnorm import get_domain, get_path_with_query, is_www
+from .urlseen import UrlSeen
+
+INF = 1 << 62
+
+
+def part_of_ip(ip: int, num_partitions: int) -> int:
+    """Frontier shard routing (reference: hash32h(firstIp,0x123456) shard
+    map, Hostdb.cpp getShardNum + isAssignedToUs Spider.cpp:1071-1131)."""
+    return int(gbhash.hash32(str(int(ip)))) % num_partitions
+
+
+@dataclass
+class CrawlConfig:
+    num_partitions: int = 4
+    horizon_ms: int = 3_600_000  # virtual round length; respiders beyond it end the round
+    user_agent: str = "gigablastbot"
+    site_list: tuple = ()
+    rules: tuple | None = None  # None → default web profile
+    exact_urlseen: bool = True
+    bloom_bits: int = 1 << 20
+    max_pages: int = 0  # 0 = unlimited; stop scheduling after N launches (budget)
+    stop_after_waves: int = 0  # 0 = run to completion (test hook: simulated kill)
+    fetch_concurrency: int = 4  # fetch/parse actor pool size per stage
+    fetch_batch_size: int = 256
+    stage_mode: str = "tasks"  # "tasks" (many small waves) | "actors" (big waves)
+
+    def filter_rules(self):
+        return list(self.rules) if self.rules else default_web_rules()
+
+
+LAUNCH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("uh48", pa.uint64()),
+        ("first_ip", pa.int64()),
+        ("host", pa.string()),
+        ("dom_hash32", pa.int64()),
+        ("hop_count", pa.int32()),
+        ("added_time", pa.int64()),
+        ("priority", pa.int16()),
+        ("ufn", pa.int32()),
+        ("harvest_links", pa.bool_()),
+        ("err_count", pa.int32()),
+        ("launch_ms", pa.int64()),
+        ("wave", pa.int64()),
+        ("part_id", pa.int32()),
+        ("seq", pa.int64()),
+    ]
+)
+
+REQUEST_COLS = (
+    "url",
+    "uh48",
+    "first_ip",
+    "host",
+    "dom_hash32",
+    "site_hash32",
+    "hop_count",
+    "added_time",
+    "parent_ip",
+    "is_injecting",
+    "is_addurl",
+    "is_reindex",
+    "fake_first_ip",
+)
+
+REPLY_COLS = (
+    "uh48",
+    "first_ip",
+    "dom_hash32",
+    "spidered_time",
+    "download_end_ms",
+    "err_code",
+    "http_status",
+    "crawl_delay_ms",
+    "lang",
+    "content_hash32",
+)
+
+
+class FrontierCore:
+    def __init__(self, part_id: int, cfg: CrawlConfig):
+        self.part_id = part_id
+        self.cfg = cfg
+        self.prog = FilterProgram(cfg.filter_rules())
+        self.site_list = SiteList(cfg.site_list)
+        # frontier log (deduped)
+        self.requests: dict[int, dict[int, dict]] = {}  # uh48 -> srh -> req fields
+        self.replies: dict[int, Rep] = {}
+        self.inlinks: dict[int, set] = {}  # uh48 -> parent c-blocks (SpiderColl.cpp:2701-2742)
+        self.by_ip: dict[int, set] = {}  # ip -> pending uh48s
+        self.seen: dict[int, str] = {}  # uh48 -> canonical url (URL-seen report)
+        self.deleted: set = set()
+        # scheduler state
+        self.waiting: dict[int, int] = {}  # ip -> next eligible ms
+        self.in_flight_ip: dict[int, int] = {}
+        self.in_flight_uh48: set = set()
+        self.last_download: dict[int, int] = {}  # ip -> last download end ms
+        self.cd_table: dict[int, int] = {}  # dom_hash32 -> crawl delay ms
+        self.urlseen = UrlSeen(cfg.bloom_bits, exact=cfg.exact_urlseen)
+        # logs / metrics
+        self.launches: list = []
+        self.applied_tokens: set = set()  # idempotency: Ray task retries may re-send a batch
+        self.seq = 0
+        self.wave = 0
+        self.metrics = {"added": 0, "dup_dropped": 0, "force_deleted": 0, "launched": 0, "completed": 0, "errors": 0}
+
+    # -- frontier writes ---------------------------------------------------
+
+    def _apply_once(self, token) -> bool:
+        """True if this batch token was already applied (a retried Ray task
+        re-sending its side effects); exactly-once application makes the
+        route-back stage retry-safe."""
+        if token is None:
+            return False
+        if token in self.applied_tokens:
+            return True
+        self.applied_tokens.add(token)
+        return False
+
+    def add_requests(self, cols: dict, token=None) -> int:
+        """Admit a batch of SpiderRequests (columnar dict of numpy arrays,
+        REQUEST_COLS).  Returns number admitted."""
+        n = len(cols["uh48"])
+        if n == 0 or self._apply_once(token):
+            return 0
+        uh = cols["uh48"].astype(np.uint64)
+        hop = cols["hop_count"].astype(np.int64)
+        added = cols["added_time"].astype(np.int64)
+        salts = (
+            np.where(cols["is_injecting"], 0x42538909, 0)
+            ^ np.where(cols["is_addurl"], 0x587C5A0B, 0)
+            ^ np.where(cols["is_reindex"], 0x70FB3911, 0)
+            ^ np.where(cols["fake_first_ip"], 0x95B8D376, 0)
+        ).astype(np.uint64)
+        # dup-cache key (SpiderColl.cpp:872-889) + full hop + added_time so
+        # that any two rows sharing a key are value-identical — admission
+        # then cannot depend on route-back arrival order (see
+        # state/urlseen.py docstring)
+        dup_key = (
+            uh
+            ^ salts
+            ^ (hop.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (added.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        )
+        fresh = self.urlseen.test_and_add(dup_key)
+        # inlink c-block counting sees every arriving request, admitted or
+        # not (commutative set union ⇒ deterministic under any ordering)
+        for i in range(n):
+            u48 = int(uh[i])
+            if u48 not in self.deleted:
+                self.inlinks.setdefault(u48, set()).add(int(cols["parent_ip"][i]) >> 8)
+        admitted = 0
+        for i in np.nonzero(fresh)[0]:
+            u48 = int(uh[i])
+            # NOTE: in-flight URLs are NOT checked here — admission must be
+            # independent of completion-arrival order within a wave; the
+            # scan skips in-flight uh48s instead.
+            if u48 in self.deleted:
+                continue
+            url = cols["url"][i]
+            ip = int(cols["first_ip"][i])
+            req = {
+                "url": url,
+                "uh48": u48,
+                "first_ip": ip,
+                "host": cols["host"][i],
+                "dom_hash32": int(cols["dom_hash32"][i]),
+                "site_hash32": int(cols["site_hash32"][i]),
+                "hop_count": int(hop[i]),
+                "added_time": int(added[i]),
+                "is_injecting": bool(cols["is_injecting"][i]),
+                "is_addurl": bool(cols["is_addurl"][i]),
+                "is_reindex": bool(cols["is_reindex"][i]),
+                "fake_first_ip": bool(cols["fake_first_ip"][i]),
+                "discovery_time": int(added[i]),
+            }
+            srh = int(salts[i] ^ np.uint64(req["site_hash32"] & 0xFFFFFFFF))
+            slot = self.requests.setdefault(u48, {})
+            prev = slot.get(srh)
+            if prev is None:
+                slot[srh] = req
+            else:
+                prev["discovery_time"] = min(prev["discovery_time"], req["discovery_time"])
+                # keep min (hop, added) — dedupSpiderdbList outcome
+                if (req["hop_count"], req["added_time"]) < (
+                    prev["hop_count"],
+                    prev["added_time"],
+                ):
+                    req["discovery_time"] = prev["discovery_time"]
+                    slot[srh] = req
+                else:
+                    admitted += 1  # counted, but merged away
+                    continue
+            self.seen.setdefault(u48, url)
+            self.by_ip.setdefault(ip, set()).add(u48)
+            if self.in_flight_ip.get(ip, 0) == 0:
+                self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
+            admitted += 1
+        self.metrics["added"] += admitted
+        self.metrics["dup_dropped"] += int(n - fresh.sum())
+        return admitted
+
+    # -- scheduling --------------------------------------------------------
+
+    def next_event_ms(self) -> int:
+        return min(self.waiting.values(), default=INF)
+
+    def _candidates_for_ip(self, ip: int):
+        pend = self.by_ip.get(ip)
+        if not pend:
+            return []
+        out = []
+        for u48 in pend:
+            if u48 in self.in_flight_uh48 or u48 in self.deleted:
+                continue
+            slot = self.requests.get(u48)
+            if not slot:
+                continue
+            # evaluate each flag-variant request; they may map to
+            # different filter rows (Spider.cpp:3887-3890)
+            for req in slot.values():
+                out.append(req)
+        return out
+
+    def _eval_filters(self, reqs: list):
+        n = len(reqs)
+        c = {
+            "uh48": np.fromiter((r["uh48"] for r in reqs), np.uint64, n),
+            "url": np.array([r["url"] for r in reqs], dtype=object),
+            "hop_count": np.fromiter((r["hop_count"] for r in reqs), np.int32, n),
+            "added_time": np.fromiter((r["added_time"] for r in reqs), np.int64, n),
+            "is_injecting": np.fromiter((r["is_injecting"] for r in reqs), bool, n),
+            "is_reindex": np.fromiter((r["is_reindex"] for r in reqs), bool, n),
+            "is_addurl": np.fromiter((r["is_addurl"] for r in reqs), bool, n),
+        }
+        c["is_manualadd"] = c["is_addurl"] | c["is_injecting"]
+        c["is_www"] = np.fromiter((r["url"].startswith(("http://www", "https://www")) for r in reqs), bool, n)
+        doms = [get_domain(r["host"]) for r in reqs]
+        c["tld"] = np.array([d.rsplit(".", 1)[-1] for d in doms], dtype=object)
+        c["in_sitelist"] = self.site_list.matches_batch(c["url"], np.array(doms, dtype=object))
+        c["num_inlinks"] = np.fromiter(
+            (min(len(self.inlinks.get(r["uh48"], ())), 255) for r in reqs), np.int32, n
+        )
+        had, st, ec, code, http, lang, idx = [], [], [], [], [], [], []
+        for r in reqs:
+            rep = self.replies.get(r["uh48"])
+            had.append(rep is not None)
+            st.append(rep.spidered_time if rep else 0)
+            ec.append(rep.err_count if rep else 0)
+            code.append(rep.err_code if rep else 0)
+            http.append(rep.http_status if rep else 0)
+            lang.append(rep.lang if rep else "en")
+            idx.append(bool(rep.is_indexed) if rep else False)
+        c["had_reply"] = np.array(had)
+        c["spidered_time"] = np.array(st, dtype=np.int64)
+        c["err_count"] = np.array(ec, dtype=np.int32)
+        c["err_code"] = np.array(code, dtype=np.int32)
+        c["http_status"] = np.array(http, dtype=np.int32)
+        c["lang"] = np.array(lang, dtype=object)
+        c["is_indexed"] = np.array(idx)
+        c["url_age"] = np.zeros(n, dtype=np.int64)
+        return c, self.prog.assign(c)
+
+    def _delete(self, u48: int):
+        self.deleted.add(u48)
+        self.requests.pop(u48, None)
+        self.metrics["force_deleted"] += 1
+
+    def schedule(self, now_ms: int) -> pa.Table:
+        """Scan every due IP; launch winners; re-arm or drop waiting
+        entries.  Returns the launch batch (LAUNCH_SCHEMA)."""
+        due_ips = sorted(ip for ip, t in self.waiting.items() if t <= now_ms)
+        rows: list = []
+        budget_hit = (
+            self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages
+        )
+        for ip in due_ips:
+            if budget_hit:
+                del self.waiting[ip]
+                continue
+            reqs = self._candidates_for_ip(ip)
+            if not reqs:
+                del self.waiting[ip]
+                self.by_ip.pop(ip, None)
+                continue
+            c, ufn = self._eval_filters(reqs)
+            # force-delete rows (e.g. !insitelist, permanent errors)
+            killed = set()
+            for i in range(len(reqs)):
+                if ufn[i] >= 0 and self.prog.force_delete[ufn[i]]:
+                    killed.add(reqs[i]["uh48"])
+            for u48 in killed:
+                self._delete(u48)
+                self.by_ip.get(ip, set()).discard(u48)
+            min_future = INF
+            cands = []
+            for i, r in enumerate(reqs):
+                if r["uh48"] in killed or ufn[i] < 0:
+                    continue
+                k = int(ufn[i])
+                rep = self.replies.get(r["uh48"])
+                stime = get_spider_time_ms(
+                    r["added_time"],
+                    r["is_injecting"],
+                    r["is_reindex"],
+                    self.last_download.get(ip),
+                    int(self.prog.same_ip_wait_ms[k]),
+                    self.cd_table.get(r["dom_hash32"]),
+                    float(self.prog.spider_freq_days[k]),
+                    rep.spidered_time if rep and rep.spidered_time > 0 else None,
+                )
+                if stime <= now_ms:
+                    cands.append((r, k, stime))
+                else:
+                    min_future = min(min_future, stime)
+            if not cands:
+                if min_future == INF:
+                    del self.waiting[ip]
+                else:
+                    self.waiting[ip] = min_future  # re-arm (SpiderColl.cpp:3483-3487)
+                continue
+            cands.sort(key=lambda t: t[0]["uh48"])  # spiderdb scan order
+            winners = select_winners(
+                (
+                    (
+                        Req(
+                            url=r["url"],
+                            uh48=r["uh48"],
+                            first_ip=r["first_ip"],
+                            host=r["host"],
+                            dom_hash32=r["dom_hash32"],
+                            site_hash32=r["site_hash32"],
+                            hop_count=r["hop_count"],
+                            added_time=r["added_time"],
+                            is_injecting=r["is_injecting"],
+                            is_addurl=r["is_addurl"],
+                            is_reindex=r["is_reindex"],
+                            fake_first_ip=r["fake_first_ip"],
+                            discovery_time=r["discovery_time"],
+                        ),
+                        int(self.prog.priority[k]),
+                        stime,
+                    )
+                    for (r, k, stime) in cands
+                ),
+                now_ms=now_ms,
+            )
+            ufn_by_uh = {r["uh48"]: k for (r, k, _) in cands}
+            # allowed in-flight per IP: 1 when politeness gaps apply
+            # (SpiderLoop.cpp:943-1072), else the rule's per-IP cap
+            top_k = ufn_by_uh[winners[0].req.uh48]
+            gap = int(self.prog.same_ip_wait_ms[top_k])
+            has_cd = any(self.cd_table.get(r["dom_hash32"], -1) >= 0 for (r, _, _) in cands)
+            allowed = 1 if (gap > 0 or has_cd) else int(self.prog.max_spiders_per_ip[top_k])
+            for w in winners[:allowed]:
+                r = w.req
+                k = ufn_by_uh[r.uh48]
+                rep = self.replies.get(r.uh48)
+                rows.append(
+                    {
+                        "url": r.url,
+                        "uh48": r.uh48,
+                        "first_ip": ip,
+                        "host": r.host,
+                        "dom_hash32": r.dom_hash32,
+                        "hop_count": r.hop_count,
+                        "added_time": r.added_time,
+                        "priority": w.priority,
+                        "ufn": k,
+                        "harvest_links": bool(self.prog.harvest_links[k]),
+                        "err_count": rep.err_count if rep else 0,
+                        "launch_ms": now_ms,
+                        "wave": self.wave,
+                        "part_id": self.part_id,
+                        "seq": self.seq,
+                    }
+                )
+                self.seq += 1
+                self.in_flight_uh48.add(r.uh48)
+                self.in_flight_ip[ip] = self.in_flight_ip.get(ip, 0) + 1
+                self.metrics["launched"] += 1
+                if self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages:
+                    budget_hit = True
+            del self.waiting[ip]  # doled XOR waiting
+        self.wave += 1
+        self.launches.extend(rows)
+        if not rows:
+            return LAUNCH_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=LAUNCH_SCHEMA)
+
+    # -- completion --------------------------------------------------------
+
+    def complete(self, cols: dict, token=None) -> int:
+        """Apply a batch of fetch replies (REPLY_COLS arrays)."""
+        n = len(cols["uh48"])
+        if self._apply_once(token):
+            return 0
+        for i in range(n):
+            u48 = int(cols["uh48"][i])
+            ip = int(cols["first_ip"][i])
+            end_ms = int(cols["download_end_ms"][i])
+            self.in_flight_uh48.discard(u48)
+            left = self.in_flight_ip.get(ip, 0) - 1
+            if left > 0:
+                self.in_flight_ip[ip] = left
+            else:
+                self.in_flight_ip.pop(ip, None)
+            self.last_download[ip] = max(self.last_download.get(ip, 0), end_ms)
+            cd = int(cols["crawl_delay_ms"][i])
+            if cd >= 0:
+                self.cd_table[int(cols["dom_hash32"][i])] = cd
+            err = int(cols["err_code"][i])
+            prev = self.replies.get(u48)
+            rep = Rep(
+                uh48=u48,
+                spidered_time=int(cols["spidered_time"][i]),
+                err_code=err,
+                err_count=(prev.err_count + 1 if prev else 1) if err else 0,
+                http_status=int(cols["http_status"][i]),
+                crawl_delay_ms=cd,
+                content_hash32=int(cols["content_hash32"][i]),
+                lang=cols["lang"][i],
+                is_indexed=err == 0,
+            )
+            if prev is None or rep.spidered_time >= prev.spidered_time:
+                self.replies[u48] = rep
+            if left <= 0:
+                self.waiting[ip] = 0  # re-arm asap; next scan gates by spider time
+            self.metrics["completed"] += 1
+            if err:
+                self.metrics["errors"] += 1
+        return n
+
+    # -- reporting / checkpoint -------------------------------------------
+
+    def launch_log(self) -> pa.Table:
+        if not self.launches:
+            return LAUNCH_SCHEMA.empty_table()
+        return pa.Table.from_pylist(self.launches, schema=LAUNCH_SCHEMA)
+
+    def url_seen(self) -> list:
+        return sorted(self.seen.items())
+
+    def fetch_log(self) -> list:
+        return sorted(
+            (u, r.spidered_time, r.http_status, r.err_code, r.err_count, r.crawl_delay_ms)
+            for u, r in self.replies.items()
+        )
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+    def get_wave(self) -> int:
+        return self.wave
+
+    def checkpoint_bytes(self, lineage: dict | None = None) -> bytes:
+        st = {
+            "part_id": self.part_id,
+            "cfg": self.cfg,
+            "requests": self.requests,
+            "replies": self.replies,
+            "inlinks": self.inlinks,
+            "by_ip": self.by_ip,
+            "seen": self.seen,
+            "deleted": self.deleted,
+            "waiting": self.waiting,
+            "in_flight_ip": self.in_flight_ip,
+            "in_flight_uh48": self.in_flight_uh48,
+            "last_download": self.last_download,
+            "cd_table": self.cd_table,
+            "urlseen": self.urlseen.state(),
+            "applied_tokens": self.applied_tokens,
+            "launches": self.launches,
+            "seq": self.seq,
+            "wave": self.wave,
+            "metrics": self.metrics,
+            "lineage": lineage or {},
+        }
+        return pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def from_checkpoint_bytes(cls, blob: bytes) -> "FrontierCore":
+        st = pickle.loads(blob)
+        core = cls(st["part_id"], st["cfg"])
+        for k in (
+            "requests",
+            "replies",
+            "inlinks",
+            "by_ip",
+            "seen",
+            "deleted",
+            "waiting",
+            "in_flight_ip",
+            "in_flight_uh48",
+            "last_download",
+            "cd_table",
+            "applied_tokens",
+            "launches",
+            "seq",
+            "wave",
+            "metrics",
+        ):
+            setattr(core, k, st[k])
+        core.urlseen = UrlSeen.from_state(st["urlseen"])
+        return core

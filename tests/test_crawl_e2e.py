@@ -1,0 +1,109 @@
+"""End-to-end engine-vs-oracle equality (BASELINE.md target 2):
+identical seed list + politeness budget ⇒ identical crawl ordering,
+URL-seen set, fetch log, and per-row span sequences."""
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from open_source_search_engine_ray.pipelines.crawl import run_crawl
+from open_source_search_engine_ray.sources.synthweb import SynthWeb, WebConfig
+from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+WEB = WebConfig(n_hosts=30, n_hubs=2, hub_pages=15, max_pages=6)
+CFG = CrawlConfig(num_partitions=3, horizon_ms=600_000, fetch_concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("oracle"))
+    return run_crawl(WEB, CFG, out, engine="local")
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("engine"))
+    return run_crawl(WEB, CFG, out, engine="ray")
+
+
+def test_oracle_progressed(oracle):
+    m = oracle.metrics
+    assert m["launched"] > 20
+    assert m["completed"] == m["launched"]
+    assert m["errors"] > 0  # fail-mode + robots-denied hosts exercised
+    assert m["force_deleted"] > 0  # !insitelist rule fired
+    assert m["dup_dropped"] > 0  # duplicate spellings collapsed
+
+
+def test_crawl_order_equality(oracle, engine):
+    a, b = oracle.launch_log, engine.launch_log
+    assert a.num_rows == b.num_rows
+    for col in ("wave", "part_id", "seq", "url", "uh48", "priority", "first_ip", "launch_ms"):
+        assert a[col].to_pylist() == b[col].to_pylist(), f"column {col} diverges"
+
+
+def test_url_seen_equality(oracle, engine):
+    assert oracle.url_seen == engine.url_seen
+
+
+def test_fetch_log_equality(oracle, engine):
+    assert oracle.fetch_log == engine.fetch_log
+
+
+def test_metrics_equality(oracle, engine):
+    assert oracle.metrics == engine.metrics
+
+
+def test_span_sequences_match_corpus(engine):
+    """Per-row span-sequence equality (kind, text, media_ref, order) vs
+    the ground-truth corpus — the input_hint invariant."""
+    web = SynthWeb(WEB)
+    docs = engine.docs_table()
+    assert docs.num_rows > 0
+    for row in docs.to_pylist():
+        loc = web.url_to_page(row["doc_id"])
+        assert loc is not None
+        assert row["spans"] == web.page_spans(*loc), row["doc_id"]
+
+
+def test_docs_equality(oracle, engine):
+    a, b = oracle.docs_table(), engine.docs_table()
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["spans"].to_pylist() == b["spans"].to_pylist()
+
+
+def test_politeness_invariant(engine):
+    """Per IP: consecutive download windows never violate the same-IP
+    wait (default 1000 ms) — the politeness budget (SpiderColl.cpp:4098)."""
+    log = engine.launch_log
+    per_ip = {}
+    for r in log.to_pylist():
+        per_ip.setdefault(r["first_ip"], []).append(r["launch_ms"])
+    viol = 0
+    for ip, times in per_ip.items():
+        times.sort()
+        for t0, t1 in zip(times, times[1:]):
+            if t1 - t0 < 1000:
+                viol += 1
+    assert viol == 0
+
+
+def test_no_duplicate_fetches(engine):
+    uh = engine.launch_log["uh48"].to_pylist()
+    assert len(uh) == len(set(uh))
+
+
+def test_robots_denied_not_in_docs(engine):
+    """Hosts with Disallow:/ (template 4: idx%20==17) must have no docs."""
+    docs = engine.docs_table()["doc_id"].to_pylist()
+    web = SynthWeb(WEB)
+    blocked = {web.hosts[i] for i in range(WEB.n_hosts) if i % 20 == 17}
+    for d in docs:
+        host = d.split("/")[2]
+        assert host not in blocked
+    # /private/ paths blocked on template-1 hosts
+    t1_hosts = {web.hosts[i] for i in range(WEB.n_hosts) if i % 20 in (3, 13)}
+    for d in docs:
+        if d.split("/")[2] in t1_hosts:
+            assert "/private/" not in d
