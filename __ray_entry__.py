@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data crawl/data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl pipeline on a deterministic synthetic web
+(Ray already initialised by the driver; nothing here calls ray.init).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data suite; each callable takes
+``sf_dir`` and returns a pandas DataFrame / Arrow table.
+
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query, with identical column names and identical rounding.  Crawl-
+semantics operators (hashing, robots, winner selection, the end-to-end
+crawl) are not SQL-expressible; they get rows-only checks here and full
+reference-semantics oracle equality in tests/test_crawl_e2e.py.
 """
 
 from __future__ import annotations
@@ -18,27 +19,401 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic crawl of the synthetic web (politeness,
+    robots, URL-seen, span parsing) → the launch log."""
+    import tempfile
+
+    from open_source_search_engine_ray.pipelines.crawl import run_crawl
+    from open_source_search_engine_ray.sources.synthweb import WebConfig
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    out = tempfile.mkdtemp(prefix="crawl_entry_")
+    res = run_crawl(
+        WebConfig(n_hosts=24, n_hubs=2, hub_pages=10, max_pages=5),
+        CrawlConfig(num_partitions=3, horizon_ms=300_000),
+        out,
+        engine="ray",
+    )
+    return res.launch_log.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator queries (deterministic synthetic inputs; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _crawl_web():
+    from open_source_search_engine_ray.sources.synthweb import WebConfig
+
+    return WebConfig(n_hosts=30, n_hubs=2, hub_pages=12, max_pages=6)
+
+
+def _q_crawl_e2e(sf_dir: str):
+    import tempfile
+
+    from open_source_search_engine_ray.pipelines.crawl import run_crawl
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    res = run_crawl(
+        _crawl_web(),
+        CrawlConfig(num_partitions=3, horizon_ms=400_000),
+        tempfile.mkdtemp(prefix="crawl_q_"),
+        engine="ray",
+    )
+    return res.launch_log.to_pandas()
+
+
+def _q_crawl_url_seen(sf_dir: str):
+    import tempfile
+
+    from open_source_search_engine_ray.pipelines.crawl import run_crawl
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    res = run_crawl(
+        _crawl_web(),
+        CrawlConfig(num_partitions=3, horizon_ms=400_000),
+        tempfile.mkdtemp(prefix="crawl_q_"),
+        engine="ray",
+    )
+    return pd.DataFrame(
+        {"uh48": [u for u, _ in res.url_seen], "url": [x for _, x in res.url_seen]}
+    )
+
+
+def _q_canonicalize(sf_dir: str):
+    """Canonicalization over every outlink in the synthetic corpus."""
+    from open_source_search_engine_ray.functions.urlnorm import canonicalize
+    from open_source_search_engine_ray.sources.synthweb import SynthWeb
+
+    web = SynthWeb(_crawl_web())
+    rows = []
+    for i, p in web.iter_pages():
+        base = web.page_url(i, p)
+        for s in web.page_spans(i, p):
+            if s["kind"] == "link":
+                rows.append((s["media_ref"], base, canonicalize(s["media_ref"], base) or ""))
+    return pd.DataFrame(rows, columns=["raw", "base", "canonical"])
+
+
+def _q_uh48(sf_dir: str):
+    from open_source_search_engine_ray.functions.gbhash import uh48_batch
+    from open_source_search_engine_ray.sources.synthweb import SynthWeb
+
+    web = SynthWeb(_crawl_web())
+    urls = [web.page_url(i, p) for i, p in web.iter_pages()]
+    return pd.DataFrame({"url": urls, "uh48": uh48_batch(urls).astype("uint64")})
+
+
+def _q_robots(sf_dir: str):
+    from open_source_search_engine_ray.functions.robots import parse_robots
+    from open_source_search_engine_ray.sources.synthweb import SynthWeb
+
+    web = SynthWeb(_crawl_web())
+    rows = []
+    for i in range(web.cfg.n_hosts):
+        pol = parse_robots(web.robots_txt(i), "gigablastbot")
+        for path in ("/", "/p1.html", "/private/p4.html", "/x.cgi", "/x.cgi?q=1"):
+            rows.append((web.hosts[i], path, pol.is_allowed(path), pol.crawl_delay_ms))
+    return pd.DataFrame(rows, columns=["host", "path", "allowed", "crawl_delay_ms"])
+
+
+def _q_urlfilter(sf_dir: str):
+    from open_source_search_engine_ray.functions.urlfilter import (
+        FilterProgram,
+        candidate_columns,
+        default_web_rules,
+    )
+
+    prog = FilterProgram(default_web_rules())
+    n = 64
+    c = candidate_columns(n)
+    rng = np.random.Generator(np.random.PCG64(42))
+    c["url"][:] = [f"http://www.h{i:04d}.test/p{i}.html" for i in range(n)]
+    c["tld"][:] = "test"
+    c["lang"][:] = "en"
+    c["hop_count"][:] = rng.integers(0, 6, n)
+    c["is_www"][:] = rng.random(n) < 0.5
+    c["in_sitelist"][:] = rng.random(n) < 0.9
+    c["had_reply"][:] = rng.random(n) < 0.3
+    c["err_count"][:] = np.where(rng.random(n) < 0.15, rng.integers(1, 4, n), 0)
+    c["err_code"][:] = np.where(c["err_count"] > 0, 1, 0)
+    c["spidered_time"][:] = np.where(c["had_reply"], 1000, 0)
+    ufn = prog.assign(c)
+    return pd.DataFrame(
+        {
+            "url": c["url"],
+            "rule_index": ufn,
+            "expression": [prog.rules[i].expression if i >= 0 else "" for i in ufn],
+            "priority": [int(prog.priority[i]) if i >= 0 else -1 for i in ufn],
+        }
+    )
+
+
+def _q_winner_selection(sf_dir: str):
+    from open_source_search_engine_ray.functions.schedule import Req, select_winners
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    cands = []
+    for u in range(40):
+        r = Req(
+            url=f"http://h.test/p{u}.html",
+            uh48=int(rng.integers(1, 1 << 48)),
+            first_ip=1,
+            host="h.test",
+            dom_hash32=1,
+            site_hash32=1,
+            hop_count=int(rng.integers(0, 5)),
+            added_time=int(rng.integers(0, 1000)),
+        )
+        cands.append((r, int(rng.integers(1, 80)), int(rng.integers(0, 100000))))
+    cands.sort(key=lambda c: c[0].uh48)
+    out = select_winners(cands, now_ms=50_000, max_winners=16)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(out), dtype=np.int64),
+            "uh48": [e.req.uh48 for e in out],
+            "priority": [e.priority for e in out],
+            "spider_time_ms": [e.spider_time_ms for e in out],
+        }
+    )
+
+
+def _q_frontier_dedup(sf_dir: str):
+    from open_source_search_engine_ray.functions.schedule import Rep, Req, dedup_frontier
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    recs = []
+    for u in range(30):
+        uh = int(rng.integers(1, 1000))
+        if rng.random() < 0.4:
+            recs.append(
+                Rep(uh48=uh, spidered_time=int(rng.integers(1, 500)), err_code=0,
+                    err_count=0, http_status=200, crawl_delay_ms=-1)
+            )
+        recs.append(
+            Req(url=f"http://h.test/p{uh}.html", uh48=uh, first_ip=1, host="h.test",
+                dom_hash32=1, site_hash32=int(rng.integers(1, 3)),
+                hop_count=int(rng.integers(0, 4)), added_time=int(rng.integers(0, 600)))
+        )
+    recs.sort(key=lambda r: (r.uh48, isinstance(r, Req)))
+    out = dedup_frontier(recs)
+    return pd.DataFrame(
+        {
+            "uh48": [r.uh48 for r in out],
+            "kind": ["request" if isinstance(r, Req) else "reply" for r in out],
+        }
+    )
+
+
+def _q_span_parse(sf_dir: str):
+    """HTML→span round trip over the corpus (the input_hint invariant)."""
+    from open_source_search_engine_ray.sources.synthweb import (
+        SynthWeb,
+        parse_html,
+        render_html,
+    )
+
+    web = SynthWeb(_crawl_web())
+    rows = []
+    for i, p in web.iter_pages():
+        spans = web.page_spans(i, p)
+        rt = parse_html(render_html(spans))
+        rows.append((web.page_url(i, p), len(spans), rt == spans))
+    return pd.DataFrame(rows, columns=["doc_id", "n_spans", "roundtrip_ok"])
+
+
+def _q_media_features(sf_dir: str):
+    from open_source_search_engine_ray.pipelines.media import media_features
+
+    return media_features(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from open_source_search_engine_ray.pipelines import relational as R
+    from open_source_search_engine_ray.pipelines import training as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / SQL-checkable
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q6_revenue_delta": R.q6_revenue_delta,
+        "q_top_customers": R.q_top_customers,
+        "q_orders_by_priority": R.q_orders_by_priority,
+        "q_distinct_segments": R.q_distinct_segments,
+        "q_events_by_type": R.q_events_by_type,
+        "q_events_daily": R.q_events_daily,
+        "q_user_sessions": R.q_user_sessions,
+        "q_part_type_stats": R.q_part_type_stats,
+        "q_supplier_nation": R.q_supplier_nation,
+        # training-data ops
+        "dedup_exact": T.dedup_exact,
+        "token_counts": T.token_counts,
+        "quality_scores": T.quality_scores,
+        "ann_topk": T.ann_topk,
+        "minhash_lsh_dedup": T.minhash_lsh_dedup,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "simhash_dedup": T.simhash_dedup,
+        "embedding_near_dup": T.embedding_near_dup,
+        "lang_id": T.lang_id_pred,
+        "doc_fingerprints": T.doc_fingerprints,
+        "media_features": _q_media_features,
+        # crawl operators (reference-semantics; rows-only here, oracle
+        # equality in tests/test_crawl_e2e.py)
+        "crawl_e2e": _q_crawl_e2e,
+        "crawl_url_seen": _q_crawl_url_seen,
+        "crawl_canonicalize": _q_canonicalize,
+        "crawl_uh48": _q_uh48,
+        "crawl_robots": _q_robots,
+        "crawl_urlfilter": _q_urlfilter,
+        "crawl_winner_selection": _q_winner_selection,
+        "crawl_frontier_dedup": _q_frontier_dedup,
+        "crawl_span_parse": _q_span_parse,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from open_source_search_engine_ray.functions.textstats import STOPWORDS
+
+    _STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+                   COUNT(*) AS count_order,
+                   ROUND(SUM(l_quantity)/COUNT(*), 4) AS avg_qty,
+                   ROUND(SUM(l_extendedprice)/COUNT(*), 4) AS avg_price,
+                   ROUND(SUM(l_discount)/COUNT(*), 4) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate  > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q6_revenue_delta": """
+            SELECT ROUND(SUM(l_extendedprice*l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_top_customers": """
+            SELECT o_custkey,
+                   ROUND(SUM(o_totalprice), 2) AS total_spent,
+                   COUNT(*) AS n_orders,
+                   ANY_VALUE(c_name) AS c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY total_spent DESC, o_custkey
+            LIMIT 20
+        """,
+        "q_orders_by_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q_events_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(SUM(value)/COUNT(*), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "q_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q_user_sessions": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+                FROM events
+            )
+            GROUP BY user_id
+        """,
+        "q_part_type_stats": """
+            SELECT p_brand, COUNT(*) AS n,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "q_supplier_nation": """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 2) AS sum_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 3 = 0
+            ) GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stopwords,
+                   ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
+                        / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS score
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_cosine_similarity(q.qe, e.embedding), 6) DESC,
+                         e.vec_id
+            ) <= 10
+        """,
+    }

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline crawl-frontier throughput + the
+relational/training pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "crawl": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same suite in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both throughputs + scaling
+efficiency (the sandbox evidence for the N→4N-node criterion; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_suite() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    results: dict = {"queries": {}}
+
+    # -- headline: crawl-frontier throughput -------------------------------
+    import shutil
+    import tempfile
+
+    from open_source_search_engine_ray.pipelines.crawl import run_crawl
+    from open_source_search_engine_ray.sources.synthweb import WebConfig
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    # throughput-shaped web: many hosts, shallow depth → big parallel
+    # waves (the frontier-throughput metric), not a politeness-serial tail
+    web = WebConfig(n_hosts=2500, n_hubs=10, hub_pages=40, max_pages=10)
+    cfg = CrawlConfig(
+        num_partitions=max(4, num_cpus // 4),
+        horizon_ms=3_600_000,
+        exact_urlseen=False,  # bloom-only: the 10^10-URL scale path
+        bloom_bits=1 << 24,
+        fetch_batch_size=512,
+        wave_window_ms=8000,  # chain up to 7 per IP per wave (reference maxSpidersPerIp)
+    )
+    out = tempfile.mkdtemp(prefix="bench_crawl_")
+    # warm: page-cache + worker import warmup on a tiny crawl
+    run_crawl(
+        WebConfig(n_hosts=16, max_pages=4),
+        CrawlConfig(num_partitions=2, horizon_ms=60_000),
+        tempfile.mkdtemp(prefix="bench_warm_"),
+        engine="ray",
+    )
+    t0 = time.perf_counter()
+    res = run_crawl(web, cfg, out, engine="ray")
+    crawl_sec = time.perf_counter() - t0
+    fetched = res.metrics["completed"]
+    results["crawl"] = {
+        "sec": round(crawl_sec, 3),
+        "urls_fetched": fetched,
+        "urls_per_sec": round(fetched / crawl_sec, 1),
+        "waves": res.waves,
+        "docs": res.metrics["completed"] - res.metrics["errors"],
+        "partitions": cfg.num_partitions,
+    }
+    results["queries"]["crawl_frontier"] = round(crawl_sec, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
+    # -- relational + training pipelines ----------------------------------
+    from open_source_search_engine_ray.pipelines import relational as R
+    from open_source_search_engine_ray.pipelines import training as T
+
+    bench_queries = {
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q6_revenue_delta": R.q6_revenue_delta,
+        "q_events_daily": R.q_events_daily,
+        "q_user_sessions": R.q_user_sessions,
+        "dedup_exact": T.dedup_exact,
+        "minhash_lsh_dedup": T.minhash_lsh_dedup,
+        "simhash_dedup": T.simhash_dedup,
+        "ann_topk": T.ann_topk,
+        "quality_scores": T.quality_scores,
+    }
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        results["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results["queries"].values()), 3)
+    out_line = {
+        "metric": "crawl_frontier_throughput+pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": results["queries"],
+        "crawl": results["crawl"],
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out_line
+
+
+def _scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    # throughput scaling on the headline crawl + total suite seconds
+    thr_lo = lo["crawl"]["urls_per_sec"]
+    thr_hi = hi["crawl"]["urls_per_sec"]
+    eff_crawl = (thr_hi / thr_lo) / (32 / 8)
+    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus": [8, 32],
+                "crawl_urls_per_sec": [thr_lo, thr_hi],
+                "suite_sec": [lo["value"], hi["value"]],
+                "scaling_efficiency_crawl": round(eff_crawl, 3),
+                "scaling_efficiency_suite": round(eff_total, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        print(json.dumps(_run_suite()))

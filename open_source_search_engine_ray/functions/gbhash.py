@@ -93,23 +93,21 @@ def hash64b_batch(strings) -> np.ndarray:
     if len(strings) == 0:
         return np.empty(0, dtype=np.uint64)
     enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
-    if (lens == 0).any():
-        # empty strings hash to 0; handle via masking below
-        pass
-    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    all_lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    out = np.zeros(len(enc), dtype=np.uint64)
+    nonempty = np.nonzero(all_lens > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    # reduceat over only the nonempty strings (empty segments would
+    # corrupt neighbouring reductions), then scatter back
+    lens = all_lens[nonempty]
+    flat = np.frombuffer(b"".join(enc[i] for i in nonempty), dtype=np.uint8)
     starts = np.cumsum(lens) - lens
     # position of each byte within its string, masked to 8 bits like the
     # reference's (unsigned char)i cast
     pos = (np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)) & 0xFF
     vals = HASHTAB[pos, flat]
-    out = np.zeros(len(enc), dtype=np.uint64)
-    nonempty = lens > 0
-    if flat.size:
-        red = np.bitwise_xor.reduceat(vals, np.minimum(starts, flat.size - 1))
-        # reduceat with duplicate indices (empty strings) returns the element
-        # at that index; zero those out
-        out[nonempty] = red[nonempty]
+    out[nonempty] = np.bitwise_xor.reduceat(vals, starts)
     return out
 
 

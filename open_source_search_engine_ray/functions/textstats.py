@@ -130,18 +130,20 @@ def fingerprint(text: str) -> int:
 def fingerprint_batch(texts) -> np.ndarray:
     lst = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
     enc = [t.encode("utf-8") for t in lst]
-    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
-    if lens.sum() == 0:
-        return np.zeros(len(enc), dtype=np.uint64)
-    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    all_lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    out = np.zeros(len(enc), dtype=np.uint64)
+    nonempty = np.nonzero(all_lens > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    # reduceat over only nonempty strings (empty segments corrupt
+    # neighbouring reductions), then scatter back
+    lens = all_lens[nonempty]
+    flat = np.frombuffer(b"".join(enc[i] for i in nonempty), dtype=np.uint8).astype(np.uint64)
     pw = _fp_powers(int(lens.max()))
     starts = np.cumsum(lens) - lens
     # power exponent per byte: len-1-pos within its string
     pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
     exp = np.repeat(lens, lens) - 1 - pos
     vals = flat * pw[exp]
-    out = np.zeros(len(enc), dtype=np.uint64)
-    nonempty = lens > 0
-    red = np.add.reduceat(vals, np.minimum(starts, flat.size - 1))
-    out[nonempty] = red[nonempty]
+    out[nonempty] = np.add.reduceat(vals, starts)
     return out

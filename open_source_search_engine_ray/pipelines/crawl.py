@@ -104,43 +104,63 @@ def _group_parts(t: pa.Table):
         yield int(p), t.filter(pa.array(parts == p))
 
 
-class _RouteBack:
-    """Terminal stage: persist docs, return frontier records to their
-    owning partition actor.  The per-batch ray.get is the write-back
-    barrier (reference: Msg4::addMetaList scatter, Msg4.cpp:418-423)."""
+def route_back_table(batch: pa.Table, actors, out_dir: str) -> pa.Table:
+    """Persist docs, return frontier records to their owning partition
+    actor (reference: Msg4::addMetaList scatter, Msg4.cpp:418-423).
+    Idempotent under Ray task retries via content-derived tokens."""
+    import ray
 
+    docs, reqs, reps = _split_records(batch)
+    if docs.num_rows:
+        _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
+    futs = []
+    for p, sub in _group_parts(reqs):
+        futs.append(
+            actors[p].add_requests.remote(
+                _table_to_cols(sub, REQUEST_COLS), token=_content_token("req", sub)
+            )
+        )
+    for p, sub in _group_parts(reps):
+        futs.append(
+            actors[p].complete.remote(
+                _table_to_cols(sub, REPLY_COLS), token=_content_token("rep", sub)
+            )
+        )
+    if futs:
+        ray.get(futs)
+    return pa.table(
+        {
+            "docs": pa.array([docs.num_rows], pa.int64()),
+            "requests": pa.array([reqs.num_rows], pa.int64()),
+            "replies": pa.array([reps.num_rows], pa.int64()),
+        }
+    )
+
+
+class _RouteBack:
     def __init__(self, actors, out_dir: str):
         self.actors = actors
         self.out_dir = out_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
+        return route_back_table(batch, self.actors, self.out_dir)
 
-        docs, reqs, reps = _split_records(batch)
-        if docs.num_rows:
-            _write_doc_table(docs, self.out_dir, str(docs["wave"][0].as_py()))
-        futs = []
-        for p, sub in _group_parts(reqs):
-            futs.append(
-                self.actors[p].add_requests.remote(
-                    _table_to_cols(sub, REQUEST_COLS), token=_content_token("req", sub)
-                )
-            )
-        for p, sub in _group_parts(reps):
-            futs.append(
-                self.actors[p].complete.remote(
-                    _table_to_cols(sub, REPLY_COLS), token=_content_token("rep", sub)
-                )
-            )
-        if futs:
-            ray.get(futs)
-        return pa.table(
-            {
-                "docs": pa.array([docs.num_rows], pa.int64()),
-                "requests": pa.array([reqs.num_rows], pa.int64()),
-                "replies": pa.array([reps.num_rows], pa.int64()),
-            }
-        )
+
+def _wave_task_body(table, web_cfg, user_agent, num_partitions, actors, out_dir):
+    """Small-wave fast path: fetch+parse+route-back in one Ray task.
+    A politeness-bound crawl tail produces many waves of a handful of
+    URLs; a full Dataset per wave costs more than the work, so waves
+    under ``SMALL_WAVE_ROWS`` run as plain tasks (same cached stage
+    code, same idempotency tokens — results are identical)."""
+    from ..stages.fetch import _cached_fetch, _cached_parse
+
+    recs = _cached_parse(web_cfg, num_partitions)(
+        _cached_fetch(web_cfg, user_agent)(table)
+    )
+    return route_back_table(recs, actors, out_dir)
+
+
+SMALL_WAVE_ROWS = 96
 
 
 @dataclass
@@ -225,10 +245,21 @@ def _ckpt_path(out_dir: str, p: int) -> str:
     return os.path.join(out_dir, "checkpoints", f"part-{p:05d}.ckpt")
 
 
+_WAVE_TASK = None
+
+
+def _get_wave_task(ray):
+    global _WAVE_TASK
+    if _WAVE_TASK is None:
+        _WAVE_TASK = ray.remote(num_cpus=1)(_wave_task_body)
+    return _WAVE_TASK
+
+
 def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     import ray
     import ray.data as rd
 
+    _wave_task = _get_wave_task(ray)
     FrontierActor = ray.remote(num_cpus=0.25)(FrontierCore)
     P = cfg.num_partitions
     manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
@@ -270,11 +301,19 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
         nxt = min(events)
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
-        now = max(now, nxt)
+        now = max(now, nxt + cfg.wave_window_ms)
         tables = ray.get([a.schedule.remote(now) for a in actors])
         tables = [t for t in tables if t.num_rows]
         waves += 1
-        if tables:
+        total_rows = sum(t.num_rows for t in tables)
+        if tables and total_rows <= SMALL_WAVE_ROWS:
+            merged = pa.concat_tables(tables)
+            ray.get(
+                _wave_task.remote(
+                    merged, web_cfg, cfg.user_agent, P, actors, out_dir
+                )
+            )
+        elif tables:
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
                 ds = ds.map_batches(
@@ -368,7 +407,7 @@ def _run_local(web, host_ip, web_cfg, cfg, out_dir):
         nxt = min(c.next_event_ms() for c in cores)
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
-        now = max(now, nxt)
+        now = max(now, nxt + cfg.wave_window_ms)
         tables = [c.schedule(now) for c in cores]
         tables = [t for t in tables if t.num_rows]
         waves += 1

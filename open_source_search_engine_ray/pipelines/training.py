@@ -1,0 +1,372 @@
+"""Training-data pipelines over the driver test tables: deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+approximate nearest neighbour, and text analysis.
+
+Scale shapes (the 100 TB story):
+- sketches (minhash/simhash signatures) are computed per batch in
+  map_batches, exploded to (bucket_key, doc_id) rows, and candidate
+  generation is a groupby on the bucket key — the only shuffle moves
+  signature rows, never documents;
+- candidate verification re-reads only the candidate texts (here: a
+  broadcast dict, at scale: a hash-join against the docs table);
+- brute-force ANN broadcasts the query matrix once (ray.put) and each
+  batch does one numpy matmul + local top-k, reduced to a global top-k.
+
+Near-dup pipelines accept an ``augment`` flag that unions deterministic
+perturbed copies into the input so tests can assert planted duplicates
+are found (the raw test tables have no duplicates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import dedup as dd
+from ..functions import textstats as ts
+
+AUG_OFFSET = 1_000_000
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: keep min(doc_id) per identical text.  Input is
+    documents ∪ exact copies (doc_id+AUG_OFFSET for doc_id%3==0) — the
+    same augmentation the oracle SQL applies.  Scale shape: fingerprint
+    per batch (vectorized), groupby(fingerprint) keeps first."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 3 == 0].copy()
+        c["doc_id"] += AUG_OFFSET
+        return pd.concat([df, c], ignore_index=True)
+
+    ds = ds.map_batches(aug, batch_format="pandas")
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        df["fp"] = ts.fingerprint_batch(df["text"].tolist()).astype("uint64")
+        return df[["doc_id", "fp"]]
+
+    ds = ds.map_batches(fp, batch_format="pandas")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+
+    out = ds.groupby("fp").map_groups(keep_min, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perturb(text: str, doc_id: int) -> str:
+    """Deterministic small perturbation: replace every 11th token."""
+    toks = text.split()
+    for i in range(doc_id % 11, len(toks), 11):
+        toks[i] = "tok" + str((doc_id + i) % 97)
+    return " ".join(toks)
+
+
+def _augmented_docs(sf_dir: str, frac_mod: int = 4):
+    """documents ∪ near-dup copies of doc_id % frac_mod == 0."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % frac_mod == 0].copy()
+        c["text"] = [_perturb(t, int(d)) for t, d in zip(c["text"], c["doc_id"])]
+        c["doc_id"] += AUG_OFFSET
+        return pd.concat([df, c], ignore_index=True)
+
+    return ds.map_batches(aug, batch_format="pandas")
+
+
+def minhash_lsh_dedup(
+    sf_dir: str, num_perm: int = 64, bands: int = 32, threshold: float = 0.4
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-groupby→
+    signature-Jaccard verify.  Returns (doc_a, doc_b, jaccard) pairs."""
+    ds = _augmented_docs(sf_dir)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = dd.token_hashes(df["text"].tolist())
+        sh, sh_lens = dd.shingle_hashes(flat, lens)
+        sig = dd.minhash_signatures(sh, sh_lens, num_perm=num_perm)
+        keys = dd.lsh_band_keys(sig, bands=bands)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "bucket": keys.ravel(),
+                "sig": list(np.repeat(sig, bands, axis=0)),
+            }
+        )
+
+    exploded = ds.map_batches(sigs, batch_format="pandas", batch_size=2048)
+
+    # shuffle on a bounded bucket-hash partition key (not per-bucket
+    # map_groups: millions of tiny LSH buckets would pay per-group
+    # overhead; 64 partitions each do one local pandas groupby)
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["bpart"] = (df["bucket"] % 64).astype("int64")
+        return df
+
+    exploded = exploded.map_batches(add_part, batch_format="pandas")
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("bucket", sort=True):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sigm = np.stack(grp["sig"].to_numpy())
+            order = np.argsort(ids, kind="stable")
+            ids, sigm = ids[order], sigm[order]
+            for i in range(len(ids)):
+                eq = (sigm[i + 1 :] == sigm[i]).mean(axis=1)
+                for off in np.nonzero(eq >= threshold)[0]:
+                    j = i + 1 + off
+                    if ids[i] != ids[j]:
+                        rows.append((int(ids[i]), int(ids[j]), round(float(eq[off]), 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    cand = exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
+    cand = cand.drop_duplicates(["doc_a", "doc_b"])
+    return cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates (the
+    verify-after-sketch stage)."""
+    import ray
+
+    cand = minhash_lsh_dedup(sf_dir, threshold=0.3)
+    docs = _augmented_docs(sf_dir).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    ref = ray.put(texts)
+    import ray.data as rd
+
+    if cand.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    ds = rd.from_pandas(cand)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(ref)
+        jac = [
+            round(dd.exact_jaccard(tx[a], tx[b]), 4)
+            for a, b in zip(df["doc_a"], df["doc_b"])
+        ]
+        df = df.assign(jaccard=jac)
+        return df[df["jaccard"] >= threshold]
+
+    out = ds.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
+    """SimHash near-dup pairs via chunk-banding (pigeonhole) + hamming
+    verify."""
+    ds = _augmented_docs(sf_dir)
+    bands = 4
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = dd.token_hashes(df["text"].tolist())
+        sh = dd.simhash(flat, lens)
+        keys = dd.simhash_band_keys(sh, bands=bands)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "bucket": keys.ravel(),
+                "sh": np.repeat(sh, bands),
+            }
+        )
+
+    exploded = ds.map_batches(sigs, batch_format="pandas", batch_size=2048)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["bpart"] = (df["bucket"] % 64).astype("int64")
+        return df
+
+    exploded = exploded.map_batches(add_part, batch_format="pandas")
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("bucket", sort=True):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sh = grp["sh"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                hd = dd.hamming64(
+                    np.full(len(ids) - i - 1, sh[i], dtype=np.uint64), sh[i + 1 :]
+                )
+                for off in np.nonzero(hd <= max_hamming)[0]:
+                    j = i + 1 + off
+                    if ids[i] != ids[j]:
+                        rows.append((int(ids[i]), int(ids[j]), int(hd[off])))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    out = exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
+    out = out.drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
+    + local top-(k+buffer), global re-sort.  Columns match the DuckDB
+    list_cosine_similarity oracle."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.map_batches(
+        lambda df: df[df["vec_id"] < n_queries], batch_format="pandas"
+    ).to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    ref = ray.put((qids, Q))
+
+    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        qids, Q = ray.get(ref)
+        V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        scores, idx = dd.cosine_topk(Q, V, min(k + 8, len(ids)))
+        rows = {
+            "query_id": np.repeat(qids, idx.shape[1]),
+            "vec_id": ids[idx].ravel(),
+            "score": scores.ravel(),
+        }
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(topk_batch, batch_format="pandas", batch_size=4096).to_pandas()
+    parts["score_r"] = parts["score"].round(6)
+    parts = parts.sort_values(
+        ["query_id", "score_r", "vec_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", as_index=False).head(k)
+    out = out[["query_id", "vec_id", "score_r"]].rename(columns={"score_r": "score"})
+    return out.reset_index(drop=True)
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings ∪ noisy copies.
+    Block-wise matmul against the broadcast (small-side) matrix — at
+    larger scale this becomes IVF/LSH-bucketed (same verify kernel)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["vec_id"] % 5 == 0].copy()
+        vecs = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+        rng_scale = 0.01
+        noise = np.stack(
+            [
+                np.random.Generator(np.random.PCG64(int(v))).normal(0, rng_scale, vecs.shape[1])
+                for v in c["vec_id"]
+            ]
+        )
+        c["embedding"] = list((vecs + noise).astype(np.float32))
+        c["vec_id"] += AUG_OFFSET
+        return pd.concat([df, c], ignore_index=True)
+
+    ds = ds.map_batches(aug, batch_format="pandas")
+    all_df = ds.to_pandas()
+    A = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    ids_all = all_df["vec_id"].to_numpy()
+    ref = ray.put((ids_all, A))
+    import ray.data as rd
+
+    ds2 = rd.from_pandas(all_df)
+
+    def nd(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, A = ray.get(ref)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ids = df["vec_id"].to_numpy()
+        sims = Vn @ An.T
+        rows = []
+        for i in range(len(ids)):
+            for j in np.nonzero(sims[i] >= threshold)[0]:
+                if ids[i] < ids_all[j]:
+                    rows.append((int(ids[i]), int(ids_all[j]), round(float(sims[i, j]), 4)))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+    out = ds2.map_batches(nd, batch_format="pandas", batch_size=2048).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = ts.token_count_batch(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n.cast(pa.int64())})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = ts.quality_columns(t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        return pa.table({"doc_id": t["doc_id"], **cols})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    for c in ("n_chars", "n_tokens", "n_punct", "n_stopwords"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_id_pred(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["lang_pred"] = [ts.lang_id(t) for t in df["text"]]
+        return df[["doc_id", "lang", "lang_pred"]]
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["fingerprint"] = ts.fingerprint_batch(df["text"].tolist()).astype("uint64")
+        return df[["doc_id", "fingerprint"]]
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -67,6 +67,12 @@ class CrawlConfig:
     fetch_concurrency: int = 4  # fetch/parse actor pool size per stage
     fetch_batch_size: int = 256
     stage_mode: str = "tasks"  # "tasks" (many small waves) | "actors" (big waves)
+    # wave batching window: the virtual clock advances to min_event+window
+    # each wave, so all IPs due within the window launch together.  Larger
+    # windows → fewer, bigger waves (better throughput); politeness gaps are
+    # still enforced in virtual ms (launch times only move later, never
+    # earlier).  0 = event-at-a-time (finest granularity).
+    wave_window_ms: int = 250
 
     def filter_rules(self):
         return list(self.rules) if self.rules else default_web_rules()
@@ -391,13 +397,20 @@ class FrontierCore:
                 now_ms=now_ms,
             )
             ufn_by_uh = {r["uh48"]: k for (r, k, _) in cands}
-            # allowed in-flight per IP: 1 when politeness gaps apply
-            # (SpiderLoop.cpp:943-1072), else the rule's per-IP cap
+            # per-IP launch budget (SpiderLoop.cpp:943-1072): a known
+            # crawl-delay forces strictly one at a time; otherwise up to
+            # the rule's maxSpidersPerIp may be in flight with launches
+            # spaced sameIpWait apart — we chain as many as fit in the
+            # wave window
             top_k = ufn_by_uh[winners[0].req.uh48]
             gap = int(self.prog.same_ip_wait_ms[top_k])
             has_cd = any(self.cd_table.get(r["dom_hash32"], -1) >= 0 for (r, _, _) in cands)
-            allowed = 1 if (gap > 0 or has_cd) else int(self.prog.max_spiders_per_ip[top_k])
-            for w in winners[:allowed]:
+            if has_cd:
+                allowed = 1
+            else:
+                chain = 1 + (self.cfg.wave_window_ms // gap if gap > 0 else 0)
+                allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
+            for li, w in enumerate(winners[:allowed]):
                 r = w.req
                 k = ufn_by_uh[r.uh48]
                 rep = self.replies.get(r.uh48)
@@ -414,7 +427,7 @@ class FrontierCore:
                         "ufn": k,
                         "harvest_links": bool(self.prog.harvest_links[k]),
                         "err_count": rep.err_count if rep else 0,
-                        "launch_ms": now_ms,
+                        "launch_ms": now_ms + li * gap,  # sameIpWait spacing
                         "wave": self.wave,
                         "part_id": self.part_id,
                         "seq": self.seq,

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: media table extraction + actor-pool decode
+stage (stubbed decoder, real schema/batch contract)."""
+
+import numpy as np
+import pyarrow as pa
+
+from open_source_search_engine_ray.pipelines.media import (
+    FEATURE_DIM,
+    MediaDecodeStage,
+    media_features,
+    media_table_from_spans,
+    synth_payload,
+)
+from open_source_search_engine_ray.sources.synthweb import SynthWeb, WebConfig
+
+
+def test_media_table_shape():
+    web = SynthWeb(WebConfig(n_hosts=10))
+    t = media_table_from_spans(web.documents_table())
+    assert t.column_names == ["doc_id", "media_ref", "kind", "payload"]
+    assert set(t["kind"].to_pylist()) <= {"image", "video"}
+    assert t.num_rows > 0
+    assert all(len(p) > 0 for p in t["payload"].to_pylist())
+
+
+def test_decode_stage_contract():
+    web = SynthWeb(WebConfig(n_hosts=8))
+    t = media_table_from_spans(web.documents_table())
+    stage = MediaDecodeStage()
+    out = stage(t.slice(0, min(16, t.num_rows)))
+    assert out.schema.field("feature").type == pa.list_(pa.float64(), FEATURE_DIM)
+    assert (np.array(out["width"].to_pylist()) > 0).all()
+    vids = [i for i, k in enumerate(out["kind"].to_pylist()) if k == "video"]
+    for i in vids:
+        assert out["n_frames"][i].as_py() > 1
+        assert out["sampled_frames"][i].as_py() >= 1
+    # deterministic
+    out2 = stage(t.slice(0, min(16, t.num_rows)))
+    assert out.equals(out2)
+
+
+def test_payload_deterministic():
+    assert synth_payload("http://x.test/a.jpg", "image") == synth_payload(
+        "http://x.test/a.jpg", "image"
+    )
+    assert synth_payload("http://x.test/a.jpg", "image") != synth_payload(
+        "http://x.test/b.jpg", "image"
+    )
+
+
+def test_media_pipeline_e2e(ray_session):
+    df = media_features("/root/testdata/sf0.001")
+    assert len(df) > 0
+    assert {"doc_id", "media_ref", "kind", "width", "height", "resized_w", "feature_norm"} <= set(df.columns)
+    assert (df["feature_norm"] - 1.0).abs().max() < 1e-3

@@ -1,0 +1,124 @@
+"""Training-data ops: planted near-duplicates must be found; kernels
+behave as specified."""
+
+import numpy as np
+import pytest
+
+from open_source_search_engine_ray.functions import dedup as dd
+from open_source_search_engine_ray.functions import textstats as ts
+from open_source_search_engine_ray.pipelines import training as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- kernels ----------------------------------------------------------------
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = "the quick brown fox jumps over the lazy cat and runs far away today"
+    fa, la = dd.token_hashes([a, b])
+    sh, lens = dd.shingle_hashes(fa, la)
+    sig = dd.minhash_signatures(sh, lens, num_perm=128)
+    est = dd.signature_jaccard(sig[0], sig[1])
+    true = dd.exact_jaccard(a, b)
+    assert abs(est - true) < 0.25
+    assert dd.exact_jaccard(a, a) == 1.0
+
+
+def test_simhash_near_for_near_texts():
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    b = a.replace("gamma", "gamma2")
+    fa, la = dd.token_hashes([a, b, "completely different words entirely unrelated"])
+    sh = dd.simhash(fa, la)
+    d_near = dd.hamming64(sh[:1], sh[1:2])[0]
+    d_far = dd.hamming64(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_cosine_topk_correct():
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(50, 8))
+    Q = V[:3] + rng.normal(scale=0.01, size=(3, 8))
+    scores, idx = dd.cosine_topk(Q, V, k=1)
+    assert idx[:, 0].tolist() == [0, 1, 2]
+    assert (scores[:, 0] > 0.99).all()
+
+
+def test_fingerprint_stable_and_distinct():
+    assert ts.fingerprint("hello world") == ts.fingerprint("hello world")
+    assert ts.fingerprint("hello world") != ts.fingerprint("hello worle")
+    batch = ts.fingerprint_batch(["a", "hello world", ""])
+    assert int(batch[1]) == ts.fingerprint("hello world")
+    assert int(batch[2]) == 0
+
+
+def test_lang_id_basics():
+    assert ts.lang_id("the cat and the dog went to the market for food") == "en"
+    assert ts.lang_id("der hund und die katze ist nicht mit ein mann") == "de"
+    assert ts.lang_id("") == "xx"
+
+
+# -- pipelines over testdata (planted duplicates) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def test_dedup_exact_removes_planted(_ray):
+    out = T.dedup_exact(SF_DIR)
+    # every kept id is an original (the planted copies have +AUG_OFFSET)
+    assert (out["doc_id"] < T.AUG_OFFSET).all()
+    import duckdb
+
+    n_docs = duckdb.sql(f"select count(*) from '{SF_DIR}/documents.parquet'").fetchone()[0]
+    assert len(out) == n_docs
+
+
+def test_minhash_finds_planted(_ray):
+    pairs = T.minhash_lsh_dedup(SF_DIR)
+    import duckdb
+
+    planted = duckdb.sql(
+        f"select doc_id from '{SF_DIR}/documents.parquet' where doc_id % 4 = 0"
+    ).df()["doc_id"]
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    hits = sum((int(d), int(d) + T.AUG_OFFSET) in found for d in planted)
+    assert hits / len(planted) > 0.8  # LSH recall on planted near-dups
+
+
+def test_simhash_finds_planted(_ray):
+    pairs = T.simhash_dedup(SF_DIR)
+    import duckdb
+
+    planted = duckdb.sql(
+        f"select doc_id from '{SF_DIR}/documents.parquet' where doc_id % 4 = 0"
+    ).df()["doc_id"]
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    hits = sum((int(d), int(d) + T.AUG_OFFSET) in found for d in planted)
+    assert hits / len(planted) > 0.5
+
+
+def test_ngram_jaccard_verifies(_ray):
+    pairs = T.ngram_jaccard_pairs(SF_DIR)
+    assert (pairs["jaccard"] >= 0.4).all()
+    assert len(pairs) > 0
+
+
+def test_embedding_near_dup_finds_planted(_ray):
+    pairs = T.embedding_near_dup(SF_DIR)
+    planted = pairs[(pairs["vec_b"] - pairs["vec_a"]) == T.AUG_OFFSET]
+    assert len(planted) > 0
+    assert (planted["cosine"] >= 0.95).all()
+
+
+def test_lang_id_pipeline_runs(_ray):
+    # NOTE: the testdata 'lang' labels are synthetic (the text is the same
+    # English-ish token soup for every label), so accuracy vs labels is
+    # meaningless; real-language behavior is covered by test_lang_id_basics.
+    out = T.lang_id_pred(SF_DIR)
+    assert len(out) == 500
+    assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "it", "xx"}
