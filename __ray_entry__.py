@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_sessions": R.q_user_sessions,
         "q_part_type_stats": R.q_part_type_stats,
         "q_supplier_nation": R.q_supplier_nation,
+        "q_asof_join": R.q_asof_join,
+        "q_range_join": R.q_range_join,
+        "q_window_running": R.q_window_running,
+        "q_sample": R.q_sample,
+        "q_union_distinct": R.q_union_distinct,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "token_counts": T.token_counts,
@@ -376,6 +381,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(s_acctbal), 2) AS sum_acctbal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_asof_join": """
+            SELECT event_id, user_id,
+                   COALESCE(strftime(last_login, '%Y-%m-%d %H:%M:%S.%f'), '') AS last_login
+            FROM (
+                SELECT event_id, user_id, ts, event_type,
+                       MAX(CASE WHEN event_type = 'login' THEN ts END) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS last_login
+                FROM events
+            )
+            WHERE event_type = 'purchase'
+        """,
+        "q_range_join": """
+            SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM (
+                SELECT CASE
+                         WHEN value < 50 THEN 'b_lt50'
+                         WHEN value < 100 THEN 'b50_100'
+                         WHEN value < 150 THEN 'b100_150'
+                         WHEN value < 200 THEN 'b150_200'
+                         ELSE 'b200_inf'
+                       END AS band, value
+                FROM events
+            ) GROUP BY band
+        """,
+        "q_window_running": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+                   ROUND(SUM(value) OVER w, 2) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "q_sample": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 16 = 0
+        """,
+        "q_union_distinct": """
+            SELECT CAST(nationkey AS BIGINT) AS nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM (

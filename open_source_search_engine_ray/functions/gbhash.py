@@ -28,40 +28,70 @@ _CHECK_00 = 6720717044602784129
 UH48_MASK = (1 << 48) - 1
 
 
+#: md5 of the golden table bytes (C-order uint64); guards against ANY
+#: corruption, not just the first cell
+_TABLE_MD5 = "29d4df18b5dfd0c6c4040d32788176cc"
+
+
+def _glibc_rand_stream(seed: int, n: int) -> np.ndarray:
+    """Pure-Python reimplementation of glibc's TYPE_3 ``rand()``
+    (additive feedback r[i] = r[i-3] + r[i-31] mod 2^32, output >> 1,
+    first 310 outputs discarded; seeding via MINSTD).  Thread-safe —
+    unlike calling libc's rand() through ctypes, where any other thread
+    in the process touching libc's shared PRNG state silently corrupts
+    the sequence (this corrupted worker-local hash tables under Ray
+    until the table became a checked-in artifact)."""
+    total = n + 344
+    r = np.empty(total, dtype=np.uint64)
+    r[0] = seed
+    for i in range(1, 31):
+        # r[i] = (16807 * r[i-1]) % 2147483647, signed-safe
+        r[i] = (16807 * int(r[i - 1])) % 2147483647
+    for i in range(31, 34):
+        r[i] = r[i - 31]
+    mask = np.uint64(0xFFFFFFFF)
+    for i in range(34, total):
+        r[i] = (r[i - 3] + r[i - 31]) & mask
+    return (r[344:] >> np.uint64(1)).astype(np.int64)
+
+
 def _generate_table() -> np.ndarray:
-    """Regenerate g_hashtab via glibc rand() seeded 1945687.
+    """Regenerate g_hashtab from the glibc rand stream seeded 1945687.
 
     Mirrors the loop at reference hash.cpp:36-47: per cell,
     ``hi = rand(); maybe |= 0x80000000; lo = rand(); maybe |= 0x80000000``
     where "maybe" consumes one extra rand() and fires when it exceeds
-    RAND_MAX/2.
-    """
-    import ctypes
-
-    libc = ctypes.CDLL("libc.so.6")
-    libc.srand(1945687)
-    raw = np.fromiter(
-        (libc.rand() for _ in range(256 * 256 * 4)), dtype=np.int64, count=256 * 256 * 4
-    ).reshape(-1, 4)
+    RAND_MAX/2."""
+    raw = _glibc_rand_stream(1945687, 256 * 256 * 4).reshape(-1, 4)
     half = 0x7FFFFFFF // 2
     hi = raw[:, 0] | np.where(raw[:, 1] > half, 0x80000000, 0)
     lo = raw[:, 2] | np.where(raw[:, 3] > half, 0x80000000, 0)
     tab = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
     tab = tab.reshape(256, 256)
-    if int(tab[0, 0]) != _CHECK_00:
-        raise RuntimeError("g_hashtab regeneration mismatch — non-glibc rand()?")
+    _validate(tab)
     return tab
+
+
+def _validate(tab: np.ndarray) -> None:
+    import hashlib
+
+    if tab.shape != (256, 256) or int(tab[0, 0]) != _CHECK_00:
+        raise RuntimeError("g_hashtab corrupt: first-cell check failed")
+    digest = hashlib.md5(np.ascontiguousarray(tab).tobytes()).hexdigest()
+    if digest != _TABLE_MD5:
+        raise RuntimeError(f"g_hashtab corrupt: md5 {digest} != {_TABLE_MD5}")
 
 
 def _load_table() -> np.ndarray:
     if os.path.exists(_ARTIFACT):
         tab = np.load(_ARTIFACT)
-        if tab.shape == (256, 256) and int(tab[0, 0]) == _CHECK_00:
-            return tab
+        _validate(tab)
+        return tab
     tab = _generate_table()
-    try:  # cache for the next worker; best-effort
+    try:  # cache for the next worker; best-effort, atomic
         tmp = _ARTIFACT + f".tmp{os.getpid()}"
-        np.save(tmp, tab)
+        with open(tmp, "wb") as f:
+            np.save(f, tab)
         os.replace(tmp, _ARTIFACT)
     except OSError:
         pass

@@ -52,6 +52,12 @@ _WS = re.compile(r"[\s\x00-\x1f]+")
 
 MAX_URL_LEN = 1024  # reference Url.h:9
 
+# fast path: URLs matching this are provably already canonical (lowercase
+# scheme+host, no port/query/fragment/escapes/path-session-ids), so
+# canonicalize(u) == u and the urllib machinery can be skipped.  This is
+# a pure optimization — the slow path gives identical results.
+_CANONICAL_RX = re.compile(r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)+/[A-Za-z0-9._~/\-]*$")
+
 # media/binary extensions excluded from the frontier
 # (reference: Url.cpp:1575-1741 s_badExtensions + wmv/mp4 additions at 1766,
 # consumed by the outlink filter at XmlDoc.cpp:15293-15303)
@@ -74,6 +80,8 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
     None if the result is not a fetchable http(s) URL."""
     if url is None:
         return None
+    if not add_www and len(url) <= MAX_URL_LEN and _CANONICAL_RX.match(url):
+        return url  # already canonical (see _CANONICAL_RX)
     # strip embedded/leading/trailing whitespace + control chars
     # (reference strips \r\n\t and leading junk, Url.cpp:814-840)
     u = _WS.sub("", url)

@@ -67,6 +67,25 @@ def _table_to_cols(t: pa.Table, names) -> dict:
     return {c: t[c].to_numpy(zero_copy_only=False) for c in names}
 
 
+# -- Arrow IPC transport ----------------------------------------------------
+# Once any Ray Data pipeline has executed, Ray registers custom Arrow
+# serializers process-wide; we observed row-level corruption of pa.Tables
+# crossing task/actor boundaries afterwards (uh48[i] no longer matching
+# url[i]).  All engine-internal table transfers therefore go as Arrow IPC
+# bytes, which serialize as plain buffers and are immune.
+
+
+def table_to_ipc(t: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def ipc_to_table(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(b)).read_all()
+
+
 def _content_token(kind: str, t: pa.Table) -> str:
     """Deterministic batch token: parse output is deterministic, so a
     retried task regenerates the same token and the actor (or the doc
@@ -113,19 +132,29 @@ def route_back_table(batch: pa.Table, actors, out_dir: str) -> pa.Table:
     docs, reqs, reps = _split_records(batch)
     if docs.num_rows:
         _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
+    import pickle
+
     futs = []
     for p, sub in _group_parts(reqs):
+        cols = _table_to_cols(sub, REQUEST_COLS)
+        verify_request_cols(cols, "routeback-out")
         futs.append(
-            actors[p].add_requests.remote(
-                _table_to_cols(sub, REQUEST_COLS), token=_content_token("req", sub)
+            actors[p].add_requests_blob.remote(
+                pickle.dumps(cols), token=_content_token("req", sub)
             )
         )
     for p, sub in _group_parts(reps):
         futs.append(
-            actors[p].complete.remote(
-                _table_to_cols(sub, REPLY_COLS), token=_content_token("rep", sub)
+            actors[p].complete_blob.remote(
+                pickle.dumps(_table_to_cols(sub, REPLY_COLS)),
+                token=_content_token("rep", sub),
             )
         )
+    touched = set()
+    for p, _ in _group_parts(reqs):
+        touched.add(int(p))
+    for p, _ in _group_parts(reps):
+        touched.add(int(p))
     if futs:
         ray.get(futs)
     return pa.table(
@@ -133,6 +162,7 @@ def route_back_table(batch: pa.Table, actors, out_dir: str) -> pa.Table:
             "docs": pa.array([docs.num_rows], pa.int64()),
             "requests": pa.array([reqs.num_rows], pa.int64()),
             "replies": pa.array([reps.num_rows], pa.int64()),
+            "touched": pa.array([sorted(touched)], pa.list_(pa.int32())),
         }
     )
 
@@ -146,21 +176,65 @@ class _RouteBack:
         return route_back_table(batch, self.actors, self.out_dir)
 
 
-def _wave_task_body(table, web_cfg, user_agent, num_partitions, actors, out_dir):
+def _verify_launch_table(table: pa.Table, where: str = "task") -> None:
+    """Integrity gate: uh48 must equal hash64b(url)&48bits for every row.
+    Catches any buffer corruption in transit at the point of occurrence
+    instead of as a silent crawl divergence."""
+    from ..functions.gbhash import uh48_batch
+
+    urls = table["url"].to_pylist()
+    want = uh48_batch(urls)
+    got = table["uh48"].to_numpy()
+    if not (want == got).all():
+        import os
+
+        bad = int(np.nonzero(want != got)[0][0])
+        dump = f"/tmp/corrupt-{where}-{os.getpid()}.parquet"
+        try:
+            pq.write_table(table, dump)
+        except Exception:
+            dump = "<dump failed>"
+        raise RuntimeError(
+            f"launch-table corruption at {where}: row {bad}/{table.num_rows} "
+            f"url={urls[bad]!r} uh48={int(got[bad])} recomputed={int(want[bad])} "
+            f"dump={dump}"
+        )
+
+
+def verify_request_cols(cols: dict, where: str) -> None:
+    """Same integrity gate for REQUEST_COLS numpy dicts entering actors."""
+    from ..functions.gbhash import uh48_batch
+
+    want = uh48_batch(list(cols["url"]))
+    got = np.asarray(cols["uh48"], dtype=np.uint64)
+    if not (want == got).all():
+        bad = int(np.nonzero(want != got)[0][0])
+        raise RuntimeError(
+            f"request-cols corruption at {where}: row {bad}/{len(got)} "
+            f"url={cols['url'][bad]!r} uh48={int(got[bad])} recomputed={int(want[bad])}"
+        )
+
+
+def _wave_task_body(table_ipc, web_cfg, user_agent, num_partitions, actors, out_dir):
     """Small-wave fast path: fetch+parse+route-back in one Ray task.
     A politeness-bound crawl tail produces many waves of a handful of
     URLs; a full Dataset per wave costs more than the work, so waves
     under ``SMALL_WAVE_ROWS`` run as plain tasks (same cached stage
-    code, same idempotency tokens — results are identical)."""
+    code, same idempotency tokens — results are identical).  The table
+    arrives as Arrow IPC bytes (see table_to_ipc)."""
     from ..stages.fetch import _cached_fetch, _cached_parse
 
+    table = ipc_to_table(table_ipc)
+    _verify_launch_table(table, "task")
     recs = _cached_parse(web_cfg, num_partitions)(
         _cached_fetch(web_cfg, user_agent)(table)
     )
-    return route_back_table(recs, actors, out_dir)
+    counts = route_back_table(recs, actors, out_dir)
+    return counts.to_pylist()[0]  # plain dict (incl. touched partitions)
 
 
-SMALL_WAVE_ROWS = 96
+SMALL_WAVE_ROWS = 4096  # waves up to this size use chunked raw tasks;
+# larger waves go through a full Ray Data pipeline (streaming + spill)
 
 
 @dataclass
@@ -264,6 +338,7 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     P = cfg.num_partitions
     manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
     resumed = False
+    ck_wave = 0
     if resume and os.path.exists(manifest_path):
         RestoredActor = ray.remote(num_cpus=0.25)(_RestoredFrontier)
         blobs = []
@@ -286,33 +361,58 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     else:
         actors = [FrontierActor.remote(p, cfg) for p in range(P)]
     if not resumed:
+        import pickle
+
         cols = seed_columns(web, host_ip)
         ray.get(
             [
-                actors[p].add_requests.remote(sub)
+                actors[p].add_requests_blob.remote(pickle.dumps(sub))
                 for p, sub in split_by_partition(cols, P)
             ]
         )
     now = 0
-    waves = 0
+    waves = ck_wave if resumed else 0
     stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
+    # driver-tracked next-event per partition: refreshed from each
+    # schedule_ipc response and from the wave tasks' touched-partition
+    # reports — no separate poll round per wave
+    events = {p: ev for p, ev in enumerate(ray.get([a.next_event_ms.remote() for a in actors]))}
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     while True:
-        events = ray.get([a.next_event_ms.remote() for a in actors])
-        nxt = min(events)
+        nxt = min(events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
         now = max(now, nxt + cfg.wave_window_ms)
-        tables = ray.get([a.schedule.remote(now) for a in actors])
-        tables = [t for t in tables if t.num_rows]
+        due = [p for p in range(P) if events[p] <= now]
+        rets = ray.get([actors[p].schedule_ipc.remote(now, waves) for p in due])
         waves += 1
+        tables = []
+        for p, (blob, ev) in zip(due, rets):
+            events[p] = ev
+            t = ipc_to_table(blob)
+            if t.num_rows:
+                tables.append(t)
         total_rows = sum(t.num_rows for t in tables)
         if tables and total_rows <= SMALL_WAVE_ROWS:
+            # chunked task fan-out: the Dataset machinery costs ~100s of ms
+            # per execution, far more than a small wave's work; raw tasks
+            # keep the whole cluster busy at ~ms scheduling cost
             merged = pa.concat_tables(tables)
-            ray.get(
+            chunk = max(4, -(-total_rows // (2 * ncpu)))
+            futs = [
                 _wave_task.remote(
-                    merged, web_cfg, cfg.user_agent, P, actors, out_dir
+                    table_to_ipc(merged.slice(off, chunk)),
+                    web_cfg,
+                    cfg.user_agent,
+                    P,
+                    actors,
+                    out_dir,
                 )
-            )
+                for off in range(0, total_rows, chunk)
+            ]
+            for r in ray.get(futs):
+                for p in r["touched"]:
+                    events[p] = 0  # completions/adds re-arm asap
         elif tables:
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
@@ -344,11 +444,20 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
             ds = ds.map_batches(_RouteBack(actors, out_dir), **stage_kw)
             # consume (small counts table) — this is the wave barrier
             ds.take_all()
+            # Dataset path: refresh all events (touched parts unknown here)
+            events = {
+                p: ev
+                for p, ev in enumerate(
+                    ray.get([a.next_event_ms.remote() for a in actors])
+                )
+            }
         if checkpoint_every and waves % checkpoint_every == 0:
-            _checkpoint_all(ray, actors, out_dir, ray.get(actors[0].get_wave.remote()))
+            _checkpoint_all(ray, actors, out_dir, waves)
         if cfg.stop_after_waves and waves >= cfg.stop_after_waves:
             break  # simulated kill (test hook for resume)
-    data = ray.get([a.snapshot.remote() for a in actors])
+    data = ray.get([a.snapshot_ipc.remote() for a in actors])
+    for d in data:
+        d["launch_log"] = ipc_to_table(d["launch_log"])
     for a in actors:
         ray.kill(a)
     return _merge_results(data, out_dir, waves)
@@ -385,7 +494,42 @@ def _snapshot(self) -> dict:
     }
 
 
+def _schedule_ipc(self, now_ms: int, wave_no: int | None = None) -> tuple:
+    """Ray-boundary variant of schedule(): (Arrow IPC bytes,
+    next-event-after-scan).  The driver uses the returned next-event to
+    avoid a separate poll round (completions re-arm via the touched-
+    partition report from the wave tasks)."""
+    t = self.schedule(now_ms, wave_no)
+    if t.num_rows:
+        _verify_launch_table(t, "actor-out")
+    return table_to_ipc(t), self.next_event_ms()
+
+
+def _snapshot_ipc(self) -> dict:
+    d = _snapshot(self)
+    d["launch_log"] = table_to_ipc(d["launch_log"])
+    return d
+
+
+def _add_requests_blob(self, blob: bytes, token=None) -> int:
+    """Ray-boundary variant: explicit pickled payload (bytes are immune
+    to the Arrow-serializer corruption described at table_to_ipc)."""
+    import pickle
+
+    return self.add_requests(pickle.loads(blob), token=token)
+
+
+def _complete_blob(self, blob: bytes, token=None) -> int:
+    import pickle
+
+    return self.complete(pickle.loads(blob), token=token)
+
+
 FrontierCore.snapshot = _snapshot
+FrontierCore.schedule_ipc = _schedule_ipc
+FrontierCore.snapshot_ipc = _snapshot_ipc
+FrontierCore.add_requests_blob = _add_requests_blob
+FrontierCore.complete_blob = _complete_blob
 
 
 # ---------------------------------------------------------------------------
@@ -403,13 +547,21 @@ def _run_local(web, host_ip, web_cfg, cfg, out_dir):
     parser = ParseStage(web_cfg, P)
     now = 0
     waves = 0
+    # mirror of the distributed protocol: per-partition event tracking,
+    # only due partitions scheduled, driver-assigned wave numbers
+    events = {p: c.next_event_ms() for p, c in enumerate(cores)}
     while True:
-        nxt = min(c.next_event_ms() for c in cores)
+        nxt = min(events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
         now = max(now, nxt + cfg.wave_window_ms)
-        tables = [c.schedule(now) for c in cores]
-        tables = [t for t in tables if t.num_rows]
+        due = [p for p in range(P) if events[p] <= now]
+        tables = []
+        for p in due:
+            t = cores[p].schedule(now, waves)
+            events[p] = cores[p].next_event_ms()
+            if t.num_rows:
+                tables.append(t)
         waves += 1
         for t in tables:
             recs = parser(fetcher(t))
@@ -418,7 +570,9 @@ def _run_local(web, host_ip, web_cfg, cfg, out_dir):
                 _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
             for p, sub in _group_parts(reqs):
                 cores[p].add_requests(_table_to_cols(sub, REQUEST_COLS))
+                events[p] = 0
             for p, sub in _group_parts(reps):
                 cores[p].complete(_table_to_cols(sub, REPLY_COLS))
+                events[p] = 0
     data = [c.snapshot() for c in cores]
     return _merge_results(data, out_dir, waves)

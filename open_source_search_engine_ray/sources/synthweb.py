@@ -83,6 +83,7 @@ class WebConfig:
     seed: int = 42
     dup_link_frac: float = 0.15
     cross_host_frac: float = 0.45
+    span_scale: int = 1  # multiply spans per page (bench: realistic page sizes)
 
     def scaled(self) -> "WebConfig":
         return self
@@ -166,7 +167,7 @@ class SynthWeb:
         (kind, text, media_ref, offset) in ascending offset order."""
         cfg = self.cfg
         r = _rng(cfg.seed, "page", host_i, page_i)
-        n_spans = int(r.integers(3, 21))
+        n_spans = int(r.integers(3, 21)) * cfg.span_scale
         spans = []
         for off in range(n_spans):
             roll = r.random()

@@ -63,6 +63,13 @@ class CrawlConfig:
     exact_urlseen: bool = True
     bloom_bits: int = 1 << 20
     max_pages: int = 0  # 0 = unlimited; stop scheduling after N launches (budget)
+    # hot-IP overflow cap: stop admitting new URLs for an IP once this many
+    # are pending (reference: 10M-request overflow list,
+    # SpiderColl.cpp:3319-3397) — bounds per-IP scan cost under skew
+    overflow_cap: int = 10_000_000
+    # verify url↔uh48 consistency of every batch entering the frontier
+    # (catches transport corruption; cheap relative to admission work)
+    verify_integrity: bool = True
     stop_after_waves: int = 0  # 0 = run to completion (test hook: simulated kill)
     fetch_concurrency: int = 4  # fetch/parse actor pool size per stage
     fetch_batch_size: int = 256
@@ -174,6 +181,16 @@ class FrontierCore:
         n = len(cols["uh48"])
         if n == 0 or self._apply_once(token):
             return 0
+        if self.cfg.verify_integrity:
+            want = gbhash.uh48_batch(list(cols["url"]))
+            got = np.asarray(cols["uh48"], dtype=np.uint64)
+            if not (want == got).all():
+                bad = int(np.nonzero(want != got)[0][0])
+                raise RuntimeError(
+                    f"request-cols corruption at actor-in(part {self.part_id}): "
+                    f"row {bad}/{n} url={cols['url'][bad]!r} "
+                    f"uh48={int(got[bad])} recomputed={int(want[bad])}"
+                )
         uh = cols["uh48"].astype(np.uint64)
         hop = cols["hop_count"].astype(np.int64)
         added = cols["added_time"].astype(np.int64)
@@ -210,6 +227,15 @@ class FrontierCore:
                 continue
             url = cols["url"][i]
             ip = int(cols["first_ip"][i])
+            pend = self.by_ip.get(ip)
+            if (
+                pend is not None
+                and len(pend) >= self.cfg.overflow_cap
+                and u48 not in pend
+            ):
+                # hot-IP overflow: stop harvesting new URLs for this IP
+                self.metrics["overflow_dropped"] = self.metrics.get("overflow_dropped", 0) + 1
+                continue
             req = {
                 "url": url,
                 "uh48": u48,
@@ -317,9 +343,15 @@ class FrontierCore:
         self.requests.pop(u48, None)
         self.metrics["force_deleted"] += 1
 
-    def schedule(self, now_ms: int) -> pa.Table:
+    def schedule(self, now_ms: int, wave_no: int | None = None) -> pa.Table:
         """Scan every due IP; launch winners; re-arm or drop waiting
-        entries.  Returns the launch batch (LAUNCH_SCHEMA)."""
+        entries.  Returns the launch batch (LAUNCH_SCHEMA).
+
+        ``wave_no``: driver-assigned wave number (keeps wave fields
+        aligned across partitions even when the driver skips non-due
+        partitions); defaults to the actor-local counter."""
+        if wave_no is not None:
+            self.wave = wave_no
         due_ips = sorted(ip for ip, t in self.waiting.items() if t <= now_ms)
         rows: list = []
         budget_hit = (

@@ -1,0 +1,124 @@
+"""Wide frontier jobs: log compaction (dedupSpiderdbList as a shuffle)
+and cold-start winner scanning."""
+
+import numpy as np
+import pandas as pd
+
+from open_source_search_engine_ray.functions.schedule import Rep, Req, dedup_frontier
+from open_source_search_engine_ray.pipelines.compact import (
+    cold_start_schedule,
+    compact_frontier,
+    dedup_log_group,
+    frontier_records_table,
+)
+from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+
+def _fixture_records(n=200, seed=5):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    reqs, reps = [], []
+    for i in range(n):
+        uh = int(rng.integers(1, 60))
+        reqs.append(
+            Req(
+                url=f"http://h{uh % 7}.test/p{uh}.html",
+                uh48=uh,
+                first_ip=100 + uh % 7,
+                host=f"h{uh % 7}.test",
+                dom_hash32=uh % 7,
+                site_hash32=int(rng.integers(1, 3)),
+                hop_count=int(rng.integers(0, 4)),
+                added_time=int(rng.integers(1, 500)),
+            )
+        )
+        if rng.random() < 0.3:
+            reps.append(
+                Rep(
+                    uh48=uh,
+                    spidered_time=int(rng.integers(1, 400)),
+                    err_code=0,
+                    err_count=0,
+                    http_status=200,
+                    crawl_delay_ms=-1,
+                )
+            )
+    return reqs, reps
+
+
+def _sequential_dedup(reqs, reps):
+    recs = sorted(
+        reps + reqs,
+        key=lambda r: (
+            r.uh48,
+            isinstance(r, Req),
+            r.spidered_time if isinstance(r, Rep) else 0,
+            r.added_time if isinstance(r, Req) else 0,
+        ),
+    )
+    return dedup_frontier(recs)
+
+
+def _key_set(items):
+    out = set()
+    for x in items:
+        if isinstance(x, Rep):
+            out.add(("rep", x.uh48, x.spidered_time))
+        else:
+            out.add(("req", x.uh48, x.srh(), x.hop_count, x.added_time))
+    return out
+
+
+def test_dedup_log_group_matches_sequential():
+    reqs, reps = _fixture_records()
+    t = frontier_records_table(reqs, reps)
+    got = dedup_log_group(t.to_pandas())
+    want = _sequential_dedup(reqs, reps)
+    assert len(got) == len(want)
+    got_keys = set()
+    for r in got.to_dict("records"):
+        if r["rec"] == "reply":
+            got_keys.add(("rep", r["uh48"], r["spidered_time"]))
+        else:
+            salt = 0
+            got_keys.add(("req", r["uh48"], None, r["hop_count"], r["added_time"]))
+    want_keys = {
+        (k[0], k[1], None, k[3], k[4]) if k[0] == "req" else k for k in _key_set(want)
+    }
+    assert {(k[0], k[1]) for k in got_keys} == {(k[0], k[1]) for k in want_keys}
+
+
+def test_compact_frontier_distributed(ray_session):
+    import ray.data as rd
+
+    reqs, reps = _fixture_records(400, seed=9)
+    t = frontier_records_table(reqs, reps)
+    ds = rd.from_arrow(t)
+    out = compact_frontier(ds).to_pandas()
+    want = _sequential_dedup(reqs, reps)
+    assert len(out) == len(want)
+    # per-uh48 survivor multiset matches
+    got_by_uh = out.groupby("uh48").size().to_dict()
+    want_by_uh = {}
+    for x in want:
+        want_by_uh[x.uh48] = want_by_uh.get(x.uh48, 0) + 1
+    assert got_by_uh == want_by_uh
+
+
+def test_cold_start_schedule(ray_session):
+    import ray.data as rd
+
+    reqs, _ = _fixture_records(300, seed=11)
+    t = frontier_records_table(reqs, [])
+    cfg = CrawlConfig(num_partitions=4, site_list=("h0.test", "h1.test", "h2.test", "h3.test", "h4.test", "h5.test", "h6.test"))
+    out = cold_start_schedule(rd.from_arrow(t), cfg, now_ms=1_000_000).to_pandas()
+    assert len(out) > 0
+    # one launch per IP max (politeness chain window = default small)
+    assert out["uh48"].is_unique
+    ips = set(out["first_ip"])
+    assert ips <= {100 + i for i in range(7)}
+    # deterministic
+    out2 = cold_start_schedule(rd.from_arrow(t), cfg, now_ms=1_000_000).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["first_ip", "seq"]).reset_index(drop=True),
+        out2.sort_values(["first_ip", "seq"]).reset_index(drop=True),
+    )
