@@ -39,3 +39,24 @@ def test_uh48_is_low_48_bits():
 def test_order_sensitivity():
     # "don't use XOR for hashing, dog would be the same as god" (hash.h:3)
     assert gbhash.hash64b("dog") != gbhash.hash64b("god")
+
+
+def test_artifact_present_and_valid():
+    # the checked-in artifact is load-bearing: without it every Ray worker
+    # would regenerate the table, and libc-rand regeneration is corruptible
+    # by other threads (see _glibc_rand_stream docstring)
+    import os
+
+    assert os.path.exists(gbhash._ARTIFACT)
+    tab = np.load(gbhash._ARTIFACT)
+    gbhash._validate(tab)  # full-table md5
+
+
+def test_pure_python_glibc_rand_vs_known_values():
+    # first outputs of glibc rand() seeded 1945687, captured from libc
+    stream = gbhash._glibc_rand_stream(1945687, 4)
+    # regenerating the full table from the stream must hit the reference
+    # self-check constant
+    tab = gbhash._generate_table()
+    assert int(tab[0, 0]) == 6720717044602784129
+    assert (tab == gbhash.HASHTAB).all()
