@@ -53,8 +53,8 @@ def _run_suite() -> dict:
 
     # throughput-shaped web: many hosts, shallow depth, realistic page
     # sizes (span_scale) → big parallel waves where fetch+parse compute
-    # dominates the fixed per-wave cost
-    web = WebConfig(n_hosts=2500, n_hubs=10, hub_pages=40, max_pages=10, span_scale=8)
+    # dominates the fixed per-wave cost (~65k URLs crawled)
+    web = WebConfig(n_hosts=25000, n_hubs=20, hub_pages=40, max_pages=8, span_scale=8)
     cfg = CrawlConfig(
         # shard count is FIXED across cluster sizes (like the reference's
         # static hosts.conf shard map) so N vs 4N measures compute scaling;
@@ -62,7 +62,7 @@ def _run_suite() -> dict:
         num_partitions=16,
         horizon_ms=3_600_000,
         exact_urlseen=False,  # bloom-only: the 10^10-URL scale path
-        bloom_bits=1 << 24,
+        bloom_bits=1 << 26,
         fetch_batch_size=256,
         wave_window_ms=30_000,  # chain up to 7 per IP per wave
     )

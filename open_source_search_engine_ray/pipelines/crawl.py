@@ -134,27 +134,19 @@ def route_back_table(batch: pa.Table, actors, out_dir: str) -> pa.Table:
         _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
     import pickle
 
-    futs = []
+    payloads: dict = {}
     for p, sub in _group_parts(reqs):
         cols = _table_to_cols(sub, REQUEST_COLS)
         verify_request_cols(cols, "routeback-out")
-        futs.append(
-            actors[p].add_requests_blob.remote(
-                pickle.dumps(cols), token=_content_token("req", sub)
-            )
-        )
+        payloads.setdefault(int(p), {})["req_cols"] = cols
+        payloads[int(p)]["req_token"] = _content_token("req", sub)
     for p, sub in _group_parts(reps):
-        futs.append(
-            actors[p].complete_blob.remote(
-                pickle.dumps(_table_to_cols(sub, REPLY_COLS)),
-                token=_content_token("rep", sub),
-            )
-        )
-    touched = set()
-    for p, _ in _group_parts(reqs):
-        touched.add(int(p))
-    for p, _ in _group_parts(reps):
-        touched.add(int(p))
+        payloads.setdefault(int(p), {})["rep_cols"] = _table_to_cols(sub, REPLY_COLS)
+        payloads[int(p)]["rep_token"] = _content_token("rep", sub)
+    touched = set(payloads)
+    futs = [
+        actors[p].apply_blob.remote(pickle.dumps(pay)) for p, pay in payloads.items()
+    ]
     if futs:
         ray.get(futs)
     return pa.table(
@@ -233,8 +225,9 @@ def _wave_task_body(table_ipc, web_cfg, user_agent, num_partitions, actors, out_
     return counts.to_pylist()[0]  # plain dict (incl. touched partitions)
 
 
-SMALL_WAVE_ROWS = 4096  # waves up to this size use chunked raw tasks;
-# larger waves go through a full Ray Data pipeline (streaming + spill)
+SMALL_WAVE_ROWS = 65536  # waves up to this size use chunked raw tasks;
+# larger waves go through a full Ray Data pipeline (streaming executor +
+# backpressure + spill matter only once a single wave outgrows memory)
 
 
 @dataclass
@@ -378,13 +371,18 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     # reports — no separate poll round per wave
     events = {p: ev for p, ev in enumerate(ray.get([a.next_event_ms.remote() for a in actors]))}
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    import time as _time
+
+    timing = {"schedule": 0.0, "prep": 0.0, "tasks": 0.0}
     while True:
         nxt = min(events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
         now = max(now, nxt + cfg.wave_window_ms)
         due = [p for p in range(P) if events[p] <= now]
+        _t0 = _time.perf_counter()
         rets = ray.get([actors[p].schedule_ipc.remote(now, waves) for p in due])
+        timing["schedule"] += _time.perf_counter() - _t0
         waves += 1
         tables = []
         for p, (blob, ev) in zip(due, rets):
@@ -397,8 +395,11 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
             # chunked task fan-out: the Dataset machinery costs ~100s of ms
             # per execution, far more than a small wave's work; raw tasks
             # keep the whole cluster busy at ~ms scheduling cost
+            _t0 = _time.perf_counter()
             merged = pa.concat_tables(tables)
-            chunk = max(4, -(-total_rows // (2 * ncpu)))
+            # ~4 chunks per CPU: fine-grained enough that stragglers don't
+            # serialize the wave, coarse enough that task overhead stays small
+            chunk = max(2, -(-total_rows // (4 * ncpu)))
             futs = [
                 _wave_task.remote(
                     table_to_ipc(merged.slice(off, chunk)),
@@ -410,9 +411,12 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
                 )
                 for off in range(0, total_rows, chunk)
             ]
+            timing["prep"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             for r in ray.get(futs):
                 for p in r["touched"]:
                     events[p] = 0  # completions/adds re-arm asap
+            timing["tasks"] += _time.perf_counter() - _t0
         elif tables:
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
@@ -455,6 +459,8 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
             _checkpoint_all(ray, actors, out_dir, waves)
         if cfg.stop_after_waves and waves >= cfg.stop_after_waves:
             break  # simulated kill (test hook for resume)
+    if os.environ.get("GRAFT_TIMING"):
+        print(f"[crawl timing] waves={waves} " + " ".join(f"{k}={v:.2f}s" for k, v in timing.items()))
     data = ray.get([a.snapshot_ipc.remote() for a in actors])
     for d in data:
         d["launch_log"] = ipc_to_table(d["launch_log"])
@@ -525,11 +531,28 @@ def _complete_blob(self, blob: bytes, token=None) -> int:
     return self.complete(pickle.loads(blob), token=token)
 
 
+def _apply_blob(self, blob: bytes) -> int:
+    """Combined requests+replies application: ONE RPC per partition per
+    route-back batch instead of two (the scatter fan-out is the dominant
+    fixed cost of small waves).  Payload: pickled
+    {req_cols, req_token, rep_cols, rep_token}."""
+    import pickle
+
+    p = pickle.loads(blob)
+    n = 0
+    if p.get("req_cols") is not None:
+        n += self.add_requests(p["req_cols"], token=p.get("req_token"))
+    if p.get("rep_cols") is not None:
+        n += self.complete(p["rep_cols"], token=p.get("rep_token"))
+    return n
+
+
 FrontierCore.snapshot = _snapshot
 FrontierCore.schedule_ipc = _schedule_ipc
 FrontierCore.snapshot_ipc = _snapshot_ipc
 FrontierCore.add_requests_blob = _add_requests_blob
 FrontierCore.complete_blob = _complete_blob
+FrontierCore.apply_blob = _apply_blob
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,13 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import gbhash
-from ..functions.schedule import Req, Rep, get_spider_time_ms, select_winners
+from ..functions.schedule import (
+    Rep,
+    Req,
+    get_spider_time_ms,
+    select_winners,
+    spider_times_ms_vec,
+)
 from ..functions.urlfilter import FilterProgram, SiteList, default_web_rules
 from ..functions.urlnorm import get_domain, get_path_with_query, is_www
 from .urlseen import UrlSeen
@@ -357,6 +363,11 @@ class FrontierCore:
         budget_hit = (
             self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages
         )
+        # phase 1: gather candidates across ALL due IPs so filter
+        # evaluation and due-time computation run as single vectorized
+        # passes (per-IP numpy setup dominated the scan otherwise)
+        gather: list = []
+        spans: list = []  # (ip, start, end) in due order
         for ip in due_ips:
             if budget_hit:
                 del self.waiting[ip]
@@ -366,11 +377,43 @@ class FrontierCore:
                 del self.waiting[ip]
                 self.by_ip.pop(ip, None)
                 continue
-            c, ufn = self._eval_filters(reqs)
-            # force-delete rows (e.g. !insitelist, permanent errors)
+            spans.append((ip, len(gather), len(gather) + len(reqs)))
+            gather.extend(reqs)
+        if gather:
+            c, ufn_all = self._eval_filters(gather)
+            nall = len(gather)
+            kmax = np.maximum(ufn_all, 0)
+            last_arr = np.fromiter(
+                (self.last_download.get(r["first_ip"], 0) for r in gather),
+                np.int64,
+                nall,
+            )
+            cd_arr = np.fromiter(
+                (self.cd_table.get(r["dom_hash32"], -1) for r in gather), np.int64, nall
+            )
+            stimes_all = spider_times_ms_vec(
+                c["added_time"],
+                c["is_injecting"],
+                c["is_reindex"],
+                last_arr,
+                self.prog.same_ip_wait_ms[kmax],
+                cd_arr,
+                self.prog.spider_freq_days[kmax],
+                c["spidered_time"],
+            )
+            forced = (ufn_all >= 0) & self.prog.force_delete[kmax]
+        # phase 2: per-IP kill/winner/launch in due order (identical
+        # semantics to the per-IP scan)
+        for ip, start, end in spans:
+            if budget_hit:
+                del self.waiting[ip]
+                continue
+            reqs = gather[start:end]
+            ufn = ufn_all[start:end]
+            stimes = stimes_all[start:end]
             killed = set()
             for i in range(len(reqs)):
-                if ufn[i] >= 0 and self.prog.force_delete[ufn[i]]:
+                if forced[start + i]:
                     killed.add(reqs[i]["uh48"])
             for u48 in killed:
                 self._delete(u48)
@@ -380,20 +423,9 @@ class FrontierCore:
             for i, r in enumerate(reqs):
                 if r["uh48"] in killed or ufn[i] < 0:
                     continue
-                k = int(ufn[i])
-                rep = self.replies.get(r["uh48"])
-                stime = get_spider_time_ms(
-                    r["added_time"],
-                    r["is_injecting"],
-                    r["is_reindex"],
-                    self.last_download.get(ip),
-                    int(self.prog.same_ip_wait_ms[k]),
-                    self.cd_table.get(r["dom_hash32"]),
-                    float(self.prog.spider_freq_days[k]),
-                    rep.spidered_time if rep and rep.spidered_time > 0 else None,
-                )
+                stime = int(stimes[i])
                 if stime <= now_ms:
-                    cands.append((r, k, stime))
+                    cands.append((r, int(ufn[i]), stime))
                 else:
                     min_future = min(min_future, stime)
             if not cands:
