@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": T.embedding_near_dup,
         "lang_id": T.lang_id_pred,
         "doc_fingerprints": T.doc_fingerprints,
+        "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
         # crawl operators (reference-semantics; rows-only here, oracle
         # equality in tests/test_crawl_e2e.py)

@@ -67,20 +67,9 @@ def _run_suite() -> dict:
         wave_window_ms=30_000,  # chain up to 7 per IP per wave
     )
     out = tempfile.mkdtemp(prefix="bench_crawl_")
-    # warm every worker process (package import + hashtab load)
-    import ray.data as rd
-
-    def _warm(b):
-        import open_source_search_engine_ray.functions.gbhash  # noqa: F401
-        import open_source_search_engine_ray.stages.fetch  # noqa: F401
-        import time as _t
-
-        _t.sleep(0.3)
-        return b
-
-    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
-        _warm, batch_size=1
-    ).count()
+    # warm workers via a small crawl (package import + hashtab load in
+    # chunk tasks; a Ray Data warmup is deliberately avoided — its executor
+    # state lingers and depresses subsequent crawl throughput ~20-40%)
     run_crawl(
         WebConfig(n_hosts=16, max_pages=4),
         CrawlConfig(num_partitions=2, horizon_ms=60_000),

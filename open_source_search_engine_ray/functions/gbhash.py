@@ -157,3 +157,24 @@ def hash32_batch(strings) -> np.ndarray:
 
 def hash32(s: str | bytes) -> int:
     return hash64b(s) & 0xFFFFFFFF
+
+
+# -- probable docids --------------------------------------------------------
+
+DOCID_BITS = 38  # reference Titledb.h:10-11 — 38-bit docids, 270B capacity
+DOCID_MASK = np.uint64((1 << DOCID_BITS) - 1)
+
+
+def probable_docid_batch(urls) -> np.ndarray:
+    """Probable docid per URL: ``hash64b(url) & DOCID_MASK``
+    (reference Titledb.h:41-87, XmlDoc.cpp:6349).  Collisions are
+    resolved by probing the low 6 bits within the documents table
+    (getFirstProbableDocId/getLastProbableDocId — see
+    pipelines/training.assign_docids)."""
+    return hash64b_batch(urls) & DOCID_MASK
+
+
+def docid_probe_range(docid: int) -> tuple:
+    """[first, last] probable docid for collision probing — the low 6
+    bits are the probe window (reference Titledb.h:83-87)."""
+    return docid & ~0x3F, docid | 0x3F

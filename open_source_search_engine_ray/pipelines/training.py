@@ -361,6 +361,56 @@ def lang_id_pred(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def assign_docids(sf_dir: str) -> pd.DataFrame:
+    """Probable-docid assignment with collision resolution (reference
+    Titledb.h:41-87, Msg22's availability probe): docid =
+    hash64b(url) & 38 bits; colliding urls within a probe bucket
+    (docid >> 6) get the next free low-6-bit slot, first-come by url
+    order — expressed as groupby(bucket).map_groups."""
+    import ray.data as rd
+
+    from ..functions.gbhash import probable_docid_batch
+    from ..sources.synthweb import SynthWeb, WebConfig
+
+    web = SynthWeb(WebConfig(n_hosts=40, n_hubs=3, hub_pages=20, max_pages=8))
+    urls = [web.page_url(i, p) for i, p in web.iter_pages()]
+    docids = probable_docid_batch(urls)
+    ds = rd.from_pandas(
+        pd.DataFrame({"url": urls, "probable_docid": docids.astype("uint64")})
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["probable_docid"].to_numpy().astype(np.uint64) >> np.uint64(6)).astype("uint64")
+        return df
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        used: set = set()
+        final = []
+        for d in g["probable_docid"]:
+            d = int(d)
+            lo, hi = d & ~0x3F, d | 0x3F
+            x = d
+            while x in used and x < hi:
+                x += 1
+            if x in used:
+                x = lo
+                while x in used:
+                    x += 1
+            used.add(x)
+            final.append(x)
+        g["docid"] = pd.Series(final, index=g.index, dtype="uint64")
+        return g[["url", "probable_docid", "docid"]]
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 

@@ -169,6 +169,51 @@ def test_dedup_reply_supersedes_reindex_and_fake():
     assert kinds == [(5, "Rep"), (5, "Req"), (6, "Req")]
 
 
+def test_overflow_cap_bounds_hot_ip():
+    """Hot-IP overflow: once an IP has overflow_cap pending URLs, new
+    admissions for it are dropped (reference SpiderColl.cpp:3319-3397)."""
+    import numpy as np
+
+    from open_source_search_engine_ray.state.frontier import CrawlConfig, FrontierCore
+
+    cfg = CrawlConfig(num_partitions=1, overflow_cap=5, verify_integrity=False)
+    core = FrontierCore(0, cfg)
+    n = 20
+    cols = {
+        "url": np.array([f"http://hot.test/p{i}.html" for i in range(n)], dtype=object),
+        "uh48": np.arange(1, n + 1, dtype=np.uint64),
+        "first_ip": np.full(n, 7, dtype=np.int64),
+        "host": np.array(["hot.test"] * n, dtype=object),
+        "dom_hash32": np.full(n, 1, dtype=np.int64),
+        "site_hash32": np.full(n, 1, dtype=np.int64),
+        "hop_count": np.zeros(n, dtype=np.int64),
+        "added_time": np.full(n, 100, dtype=np.int64),
+        "parent_ip": np.zeros(n, dtype=np.int64),
+        "is_injecting": np.zeros(n, dtype=bool),
+        "is_addurl": np.zeros(n, dtype=bool),
+        "is_reindex": np.zeros(n, dtype=bool),
+        "fake_first_ip": np.zeros(n, dtype=bool),
+    }
+    core.add_requests(cols)
+    assert len(core.by_ip[7]) == 5
+    assert core.metrics["overflow_dropped"] == 15
+
+
+def test_probable_docids():
+    from open_source_search_engine_ray.functions.gbhash import (
+        DOCID_MASK,
+        docid_probe_range,
+        hash64b,
+        probable_docid_batch,
+    )
+
+    urls = ["http://a.test/", "http://b.test/x"]
+    d = probable_docid_batch(urls)
+    assert int(d[0]) == hash64b(urls[0]) & int(DOCID_MASK)
+    lo, hi = docid_probe_range(int(d[0]))
+    assert lo <= int(d[0]) <= hi and hi - lo == 63
+
+
 def test_dedup_multiple_uh48_groups():
     recs = [
         Rep(uh48=1, spidered_time=10, err_code=0, err_count=0, http_status=200, crawl_delay_ms=-1),
