@@ -234,6 +234,58 @@ def _q_media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _fixture_log():
+    """Deterministic frontier-log fixture for the wide jobs."""
+    from open_source_search_engine_ray.functions.schedule import Rep, Req
+    from open_source_search_engine_ray.pipelines.compact import frontier_records_table
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    reqs, reps = [], []
+    for i in range(800):
+        uh = int(rng.integers(1, 200))
+        reqs.append(
+            Req(url=f"http://h{uh % 13}.test/p{uh}.html", uh48=uh, first_ip=500 + uh % 13,
+                host=f"h{uh % 13}.test", dom_hash32=uh % 13, site_hash32=int(rng.integers(1, 4)),
+                hop_count=int(rng.integers(0, 5)), added_time=int(rng.integers(1, 900)))
+        )
+        if rng.random() < 0.25:
+            reps.append(
+                Rep(uh48=uh, spidered_time=int(rng.integers(1, 800)), err_code=0,
+                    err_count=0, http_status=200, crawl_delay_ms=-1)
+            )
+    return frontier_records_table(reqs, reps)
+
+
+def _q_compact_frontier(sf_dir: str):
+    """Wide frontier-log compaction (dedupSpiderdbList as a shuffle)."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.compact import compact_frontier
+
+    out = compact_frontier(rd.from_arrow(_fixture_log())).to_pandas()
+    return out[["rec", "uh48", "hop_count", "added_time", "spidered_time"]].sort_values(
+        ["uh48", "rec", "hop_count", "added_time"]
+    ).reset_index(drop=True)
+
+
+def _q_cold_start(sf_dir: str):
+    """Cold-start full-log winner scan (populateWaitingTreeFromSpiderdb)."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.compact import cold_start_schedule
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    cfg = CrawlConfig(
+        num_partitions=4,
+        site_list=tuple(f"h{i}.test" for i in range(13)),
+        verify_integrity=False,
+    )
+    out = cold_start_schedule(rd.from_arrow(_fixture_log()), cfg, now_ms=2_000_000).to_pandas()
+    return out[["url", "uh48", "first_ip", "priority", "launch_ms"]].sort_values(
+        ["first_ip", "launch_ms", "uh48"]
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from open_source_search_engine_ray.pipelines import relational as R
     from open_source_search_engine_ray.pipelines import training as T
@@ -281,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_winner_selection": _q_winner_selection,
         "crawl_frontier_dedup": _q_frontier_dedup,
         "crawl_span_parse": _q_span_parse,
+        "crawl_compact_frontier": _q_compact_frontier,
+        "crawl_cold_start_schedule": _q_cold_start,
     }
 
 
