@@ -83,11 +83,9 @@ def cmd_inject(args) -> int:
     """Add URLs to an existing crawl's frontier and continue it
     (reference: PageAddUrl / setFromAddUrl, Spider.cpp:4286)."""
     _init_ray(args.num_cpus)
-    import numpy as np
-
     from .pipelines.crawl import run_crawl
     from .sources.synthweb import SynthWeb, WebConfig
-    from .stages.canonicalize import make_request_columns, split_by_partition
+    from .stages.canonicalize import make_request_columns
     from .state.frontier import CrawlConfig
 
     web_cfg = WebConfig(n_hosts=args.hosts)

@@ -50,7 +50,6 @@ from ..state.frontier import (
     REQUEST_COLS,
     CrawlConfig,
     FrontierCore,
-    part_of_ip,
 )
 
 DOC_SCHEMA = pa.schema(

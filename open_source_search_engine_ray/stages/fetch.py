@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..functions import gbhash, urlfilter
 from ..functions.robots import parse_robots
-from ..functions.urlnorm import get_domain, get_path_with_query, outlink_ok
+from ..functions.urlnorm import get_path_with_query, outlink_ok
 from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html
 from ..state.frontier import part_of_ip
 from .canonicalize import make_request_columns

@@ -33,7 +33,7 @@ route-back arrival order cannot change state.
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -47,7 +47,7 @@ from ..functions.schedule import (
     spider_times_ms_vec,
 )
 from ..functions.urlfilter import FilterProgram, SiteList, default_web_rules
-from ..functions.urlnorm import get_domain, get_path_with_query, is_www
+from ..functions.urlnorm import get_domain
 from .urlseen import UrlSeen
 
 INF = 1 << 62

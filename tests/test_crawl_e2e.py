@@ -2,9 +2,7 @@
 identical seed list + politeness budget ⇒ identical crawl ordering,
 URL-seen set, fetch log, and per-row span sequences."""
 
-import os
 
-import pyarrow.compute as pc
 import pytest
 
 from open_source_search_engine_ray.pipelines.crawl import run_crawl

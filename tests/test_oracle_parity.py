@@ -2,8 +2,6 @@
 entry at sf0.001 and compare SQL-backed ones against DuckDB
 (row count + schema + order-insensitive values)."""
 
-import math
-
 import duckdb
 import numpy as np
 import pandas as pd
