@@ -92,3 +92,22 @@ def test_query_included_in_match():
     txt = "User-agent: *\nDisallow: /search?q=\n"
     assert not allowed(txt, "/search?q=x")
     assert allowed(txt, "/search")
+
+
+def test_multiple_specific_ua_groups_merge():
+    # two groups matching our UA both contribute rules
+    txt = f"User-agent: {UA}\nDisallow: /a/\n\nUser-agent: {UA}\nDisallow: /b/\n"
+    assert not allowed(txt, "/a/1")
+    assert not allowed(txt, "/b/1")
+
+
+def test_crawl_delay_without_rules():
+    p = parse_robots(f"User-agent: {UA}\nCrawl-delay: 1.5\n", UA)
+    assert p.crawl_delay_ms == 1500
+    assert p.is_allowed("/anything")
+
+
+def test_leading_wildcard_rule():
+    txt = "User-agent: *\nDisallow: */private/*\n"
+    assert not allowed(txt, "/x/private/y")
+    assert allowed(txt, "/x/public/y")

@@ -136,3 +136,28 @@ def test_site_list():
         np.array(["h0001.test", "q.test"], dtype=object),
     )
     assert m.tolist() == [True, False]
+
+
+def test_first_match_is_order_dependent():
+    # swapping rule order changes assignment — first-match semantics
+    a = FilterProgram([UrlFilterRule("hopcount>=1", 10, 1), UrlFilterRule("hopcount>=2", 20, 1), UrlFilterRule("default", 1, 1)])
+    b = FilterProgram([UrlFilterRule("hopcount>=2", 20, 1), UrlFilterRule("hopcount>=1", 10, 1), UrlFilterRule("default", 1, 1)])
+    c = cand(hop_count=3)
+    assert a.rules[int(a.assign(c)[0])].priority == 10
+    assert b.rules[int(b.assign(c)[0])].priority == 20
+
+
+def test_negated_numeric_and_conjunction():
+    prog = FilterProgram([
+        UrlFilterRule("!hopcount==0 && errorcount>=1", 33, 1),
+        UrlFilterRule("default", 1, 1),
+    ])
+    hit = prog.assign(cand(hop_count=2, err_count=1, had_reply=True, spidered_time=5))
+    assert prog.rules[int(hit[0])].priority == 33
+    miss = prog.assign(cand(hop_count=0, err_count=1, had_reply=True, spidered_time=5))
+    assert prog.rules[int(miss[0])].priority == 1
+
+
+def test_no_match_returns_minus_one():
+    prog = FilterProgram([UrlFilterRule("hopcount>=9", 5, 1)])  # no default row
+    assert int(prog.assign(cand(hop_count=0))[0]) == -1
