@@ -508,17 +508,20 @@ def oracle_sql() -> dict[str, str]:
                         / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio
             FROM documents
         """,
+        # CAST to DOUBLE[] so DuckDB accumulates the dot product in
+        # float64 like the numpy side; f64 last-ulp noise (~1e-16)
+        # cannot straddle a 6-dp rounding boundary (f32 noise ~1e-7 can).
         "ann_topk": """
             WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings WHERE vec_id < 10
             )
             SELECT q.query_id, e.vec_id,
-                   ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS score
+                   ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
             FROM q CROSS JOIN embeddings e
             QUALIFY row_number() OVER (
                 PARTITION BY q.query_id
-                ORDER BY ROUND(list_cosine_similarity(q.qe, e.embedding), 6) DESC,
+                ORDER BY ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
                          e.vec_id
             ) <= 10
         """,

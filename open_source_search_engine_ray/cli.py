@@ -80,24 +80,53 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_inject(args) -> int:
-    """Add URLs to an existing crawl's frontier and continue it
-    (reference: PageAddUrl / setFromAddUrl, Spider.cpp:4286)."""
-    _init_ray(args.num_cpus)
-    from .pipelines.crawl import run_crawl
-    from .sources.synthweb import SynthWeb, WebConfig
-    from .stages.canonicalize import make_request_columns
-    from .state.frontier import CrawlConfig
+    """Add URLs to an existing crawl's frontier (reference: PageAddUrl /
+    setFromAddUrl, Spider.cpp:4286).  Loads the per-partition frontier
+    checkpoints, admits the URLs as isaddurl requests, and rewrites the
+    checkpoints, so ``crawl --resume`` schedules them.  Pure driver-side
+    work — no Ray session needed."""
+    import os
 
-    web_cfg = WebConfig(n_hosts=args.hosts)
-    web = SynthWeb(web_cfg)
+    from .pipelines.crawl import _ckpt_path
+    from .sources.synthweb import SynthWeb, WebConfig
+    from .stages.canonicalize import make_request_columns, split_by_partition
+    from .state.frontier import FrontierCore
+
+    manifest_path = os.path.join(args.out, "checkpoints", "MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        print(
+            json.dumps(
+                {
+                    "error": "no checkpoints found; run crawl with "
+                    "--checkpoint-every first",
+                    "out": args.out,
+                }
+            )
+        )
+        return 1
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    P = manifest["partitions"]
+    web = SynthWeb(WebConfig(n_hosts=args.hosts))
     host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
     cols = make_request_columns(args.urls, host_ip, is_addurl=True)
+    admitted = 0
+    for p, sub in split_by_partition(cols, P):
+        path = _ckpt_path(args.out, p)
+        with open(path, "rb") as f:
+            core = FrontierCore.from_checkpoint_bytes(f.read())
+        admitted += core.add_requests(sub)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(core.checkpoint_bytes({"wave": manifest["wave"]}))
+        os.replace(tmp, path)
     print(
         json.dumps(
             {
                 "injected": int(len(cols["url"])),
+                "admitted": admitted,
                 "urls": list(cols["url"]),
-                "note": "requests admitted as isaddurl; run crawl --resume to schedule",
+                "note": "run crawl --resume to schedule",
             }
         )
     )

@@ -197,7 +197,11 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
         reps = g[g["rec"] == "reply"]
         for r in reps.to_dict("records"):
             rep = _row_to_rec(r)
-            core.replies[rep.uh48] = rep
+            # newest-reply-wins, mirroring FrontierCore.complete — makes
+            # reply application commutative under any block/row ordering
+            prev = core.replies.get(rep.uh48)
+            if prev is None or rep.spidered_time >= prev.spidered_time:
+                core.replies[rep.uh48] = rep
         t = core.schedule(now_ms)
         return t.to_pandas()
 

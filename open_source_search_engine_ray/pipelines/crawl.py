@@ -460,6 +460,10 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
             break  # simulated kill (test hook for resume)
     if os.environ.get("GRAFT_TIMING"):
         print(f"[crawl timing] waves={waves} " + " ".join(f"{k}={v:.2f}s" for k, v in timing.items()))
+    if checkpoint_every:
+        # final checkpoint: lets `inject` add URLs to the finished crawl
+        # and `crawl --resume` continue it
+        _checkpoint_all(ray, actors, out_dir, waves)
     data = ray.get([a.snapshot_ipc.remote() for a in actors])
     for d in data:
         d["launch_log"] = ipc_to_table(d["launch_log"])

@@ -237,8 +237,9 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
 
 def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
-    + local top-(k+buffer), global re-sort.  Columns match the DuckDB
-    list_cosine_similarity oracle."""
+    + local top-k over ROUNDED scores (all k-th-score ties kept so the
+    global re-sort sees every row the SQL QUALIFY would), global re-sort.
+    Scores are float64 to match the DOUBLE-cast DuckDB oracle."""
     import ray
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -253,22 +254,22 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
         qids, Q = ray.get(ref)
         V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         ids = df["vec_id"].to_numpy()
-        scores, idx = dd.cosine_topk(Q, V, min(k + 8, len(ids)))
-        rows = {
-            "query_id": np.repeat(qids, idx.shape[1]),
-            "vec_id": ids[idx].ravel(),
-            "score": scores.ravel(),
-        }
-        return pd.DataFrame(rows)
+        qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims_r = np.round(qn @ vn.T, 6)  # (Q, N) rounded BEFORE selection
+        kk = min(k, sims_r.shape[1])
+        kth = -np.partition(-sims_r, kk - 1, axis=1)[:, kk - 1]
+        qi, vi = np.nonzero(sims_r >= kth[:, None])  # keeps k-th-score ties
+        return pd.DataFrame(
+            {"query_id": qids[qi], "vec_id": ids[vi], "score": sims_r[qi, vi]}
+        )
 
     parts = ds.map_batches(topk_batch, batch_format="pandas", batch_size=4096).to_pandas()
-    parts["score_r"] = parts["score"].round(6)
     parts = parts.sort_values(
-        ["query_id", "score_r", "vec_id"], ascending=[True, False, True]
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
     )
     out = parts.groupby("query_id", as_index=False).head(k)
-    out = out[["query_id", "vec_id", "score_r"]].rename(columns={"score_r": "score"})
-    return out.reset_index(drop=True)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:

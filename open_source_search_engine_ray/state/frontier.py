@@ -434,7 +434,19 @@ class FrontierCore:
                 else:
                     self.waiting[ip] = min_future  # re-arm (SpiderColl.cpp:3483-3487)
                 continue
-            cands.sort(key=lambda t: t[0]["uh48"])  # spiderdb scan order
+            # spiderdb scan order; the secondary keys give flag-variant
+            # requests of one uh48 a content-derived total order so
+            # select_winners tie-breaks are route-back-arrival-independent
+            cands.sort(
+                key=lambda t: (
+                    t[0]["uh48"],
+                    t[0]["is_injecting"],
+                    t[0]["is_addurl"],
+                    t[0]["is_reindex"],
+                    t[0]["fake_first_ip"],
+                    t[0]["site_hash32"],
+                )
+            )
             winners = select_winners(
                 (
                     (
@@ -471,8 +483,12 @@ class FrontierCore:
             has_cd = any(self.cd_table.get(r["dom_hash32"], -1) >= 0 for (r, _, _) in cands)
             if has_cd:
                 allowed = 1
+            elif gap <= 0:
+                # no crawl-delay and no sameIpWait: the whole per-IP budget
+                # fits in any window (reference maxSpidersPerIp gating)
+                allowed = int(self.prog.max_spiders_per_ip[top_k])
             else:
-                chain = 1 + (self.cfg.wave_window_ms // gap if gap > 0 else 0)
+                chain = 1 + self.cfg.wave_window_ms // gap
                 allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
             for li, w in enumerate(winners[:allowed]):
                 r = w.req

@@ -102,3 +102,39 @@ def test_cli_crawl_and_dump(tmp_path):
         cwd="/root/repo",
     )
     assert json.loads(m.stdout)["launched"] == info["metrics"]["launched"]
+
+
+def test_cli_inject_then_resume(tmp_path):
+    """inject persists requests into the checkpoints; crawl --resume
+    schedules them (reference: PageAddUrl → setFromAddUrl flow)."""
+    out = str(tmp_path / "injout")
+
+    def run(*argv, timeout=240):
+        r = subprocess.run(
+            [sys.executable, "-m", "open_source_search_engine_ray.cli", *argv],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run(
+        "--num-cpus", "4", "crawl", "--out", out, "--hosts", "12",
+        "--max-pages", "3", "--partitions", "2", "--checkpoint-every", "2",
+    )
+    # p99 never exists (max_pages=3) so no crawl link can have seen it
+    url = "http://www.h0001.test/p99.html"
+    inj = run("inject", "--out", out, "--hosts", "12", url)
+    assert inj["admitted"] == 1
+    info = run(
+        "--num-cpus", "4", "crawl", "--out", out, "--hosts", "12",
+        "--max-pages", "3", "--partitions", "2", "--checkpoint-every", "2",
+        "--resume",
+    )
+    assert info["metrics"]["launched"] >= 1
+    import pyarrow.parquet as pq
+
+    launches = pq.read_table(f"{out}/launch_log.parquet")
+    assert url in set(launches["url"].to_pylist())
