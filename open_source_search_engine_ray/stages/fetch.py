@@ -24,10 +24,16 @@ import pyarrow as pa
 
 from ..functions import gbhash, urlfilter
 from ..functions.robots import parse_robots
-from ..functions.urlnorm import get_path_with_query, outlink_ok
+from ..functions.urlnorm import (
+    canonicalize,
+    get_domain,
+    get_host,
+    get_path_with_query,
+    outlink_ok,
+)
 from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html
 from ..state.frontier import part_of_ip
-from .canonicalize import make_request_columns
+from .canonicalize import resolve_ip
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -139,90 +145,155 @@ class FetchStage:
         return out
 
 
+def _part_vec(ips: np.ndarray, P: int) -> np.ndarray:
+    """Vectorized part_of_ip: one hash per UNIQUE ip, gathered back."""
+    ips = np.asarray(ips, dtype=np.int64)
+    if ips.size == 0:
+        return np.empty(0, dtype=np.int32)
+    uniq, inv = np.unique(ips, return_inverse=True)
+    lut = np.fromiter((part_of_ip(int(ip), P) for ip in uniq), np.int32, len(uniq))
+    return lut[inv]
+
+
+def _records(n: int, **cols) -> pa.Table:
+    """Columnar RECORD_SCHEMA builder: absent fields become nulls (the
+    same shape ``Table.from_pylist`` produced for missing keys)."""
+    arrays = []
+    for f in RECORD_SCHEMA:
+        v = cols.get(f.name)
+        if v is None:
+            arrays.append(pa.nulls(n, f.type))
+        elif isinstance(v, (pa.Array, pa.ChunkedArray)):
+            arrays.append(v)
+        elif isinstance(v, str):
+            arrays.append(pa.array([v] * n, f.type))
+        else:
+            arrays.append(pa.array(v, f.type))
+    return pa.Table.from_arrays(arrays, schema=RECORD_SCHEMA)
+
+
 class ParseStage:
+    """Columnar parse/reply/outlink assembly.  Per-row Python work is
+    only what is inherently per-string (parse_html, canonicalize); all
+    hashing, partition routing, and record assembly are batch
+    operations (reference outlink batch: XmlDoc.cpp:15007-15520)."""
+
     def __init__(self, web_cfg: WebConfig, num_partitions: int):
         self.web = SynthWeb(web_cfg)
         self.host_ip = {h: int(ip) for h, ip in zip(self.web.hosts, self.web.ips)}
         self.P = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
         n = batch.num_rows
-        b = batch.to_pylist()
-        for r in b:
-            end_s = r["download_end_ms"] // 1000
-            html = r["html"]
-            spans = parse_html(html) if html else []
-            lang = "en"
-            reply = {
-                "rec": "reply",
-                "part": part_of_ip(r["first_ip"], self.P),
-                "uh48": r["uh48"],
-                "first_ip": r["first_ip"],
-                "dom_hash32": r["dom_hash32"],
-                "spidered_time": end_s,
-                "download_end_ms": r["download_end_ms"],
-                "err_code": r["err_code"],
-                "http_status": r["http_status"],
-                "crawl_delay_ms": r["crawl_delay_ms"],
-                "lang": lang,
-                "content_hash32": gbhash.hash32(html) if html else 0,
-                "wave": r["wave"],
-            }
-            rows.append(reply)
-            if r["err_code"] == 0 and r["http_status"] == 200:
-                rows.append(
-                    {
-                        "rec": "doc",
-                        "part": part_of_ip(r["first_ip"], self.P),
-                        "doc_id": r["url"],
-                        "uh48": r["uh48"],
-                        "spans": spans,
-                        "wave": r["wave"],
-                    }
-                )
-                if r["harvest_links"]:
-                    links = [s["media_ref"] for s in spans if s["kind"] == "link"]
-                    if links:
-                        cols = make_request_columns(
-                            links,
-                            self.host_ip,
-                            bases=[r["url"]] * len(links),
-                            hop_count=r["hop_count"] + 1,
-                            added_time=end_s,
-                            parent_ip=r["first_ip"],
-                            drop=lambda c, src=r["url"]: not outlink_ok(c, src),
-                        )
-                        # per-page outlink dedup (XmlDoc.cpp:15263-15272)
-                        seen_page: set = set()
-                        for j in range(len(cols["url"])):
-                            u48 = int(cols["uh48"][j])
-                            if u48 in seen_page:
-                                continue
-                            seen_page.add(u48)
-                            rows.append(
-                                {
-                                    "rec": "request",
-                                    "part": part_of_ip(int(cols["first_ip"][j]), self.P),
-                                    "url": cols["url"][j],
-                                    "uh48": u48,
-                                    "first_ip": int(cols["first_ip"][j]),
-                                    "host": cols["host"][j],
-                                    "dom_hash32": int(cols["dom_hash32"][j]),
-                                    "site_hash32": int(cols["site_hash32"][j]),
-                                    "hop_count": int(cols["hop_count"][j]),
-                                    "added_time": int(cols["added_time"][j]),
-                                    "parent_ip": int(cols["parent_ip"][j]),
-                                    "is_injecting": False,
-                                    "is_addurl": False,
-                                    "is_reindex": False,
-                                    "fake_first_ip": False,
-                                    "wave": r["wave"],
-                                }
-                            )
-        if not rows:
+        if n == 0:
             return RECORD_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=RECORD_SCHEMA)
+        uh = batch["uh48"].to_numpy()
+        first_ip = batch["first_ip"].to_numpy()
+        dom32 = batch["dom_hash32"].to_numpy()
+        end_ms = batch["download_end_ms"].to_numpy()
+        err = batch["err_code"].to_numpy()
+        status = batch["http_status"].to_numpy()
+        cdel = batch["crawl_delay_ms"].to_numpy()
+        wave = batch["wave"].to_numpy()
+        hop = batch["hop_count"].to_numpy()
+        harvest = batch["harvest_links"].to_numpy(zero_copy_only=False)
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        end_s = end_ms // 1000
+        part = _part_vec(first_ip, self.P)
+
+        # one reply per input row (hash32_batch yields 0 for html == "")
+        reply = _records(
+            n,
+            rec="reply",
+            part=part,
+            uh48=uh,
+            first_ip=first_ip,
+            dom_hash32=dom32,
+            spidered_time=end_s,
+            download_end_ms=end_ms,
+            err_code=err,
+            http_status=status,
+            crawl_delay_ms=cdel,
+            lang="en",
+            content_hash32=gbhash.hash32_batch(htmls).astype(np.int64),
+            wave=wave,
+        )
+
+        # docs: span sequences for the 200-OK rows
+        ok_idx = np.nonzero((err == 0) & (status == 200))[0]
+        spans_list = [parse_html(htmls[i]) for i in ok_idx]
+        doc = _records(
+            len(ok_idx),
+            rec="doc",
+            part=part[ok_idx],
+            doc_id=[urls[i] for i in ok_idx],
+            uh48=uh[ok_idx],
+            spans=pa.array(spans_list, SPAN_TYPE),
+            wave=wave[ok_idx],
+        )
+
+        # outlinks: gather (raw link, source row) over all harvested pages
+        link_raw: list[str] = []
+        link_src: list[int] = []
+        for di, i in enumerate(ok_idx):
+            if not harvest[i]:
+                continue
+            for s in spans_list[di]:
+                if s["kind"] == "link":
+                    link_raw.append(s["media_ref"])
+                    link_src.append(int(i))
+        # canonicalize + outlink filter (same order make_request_columns
+        # applied per page), then per-page uh48 dedup
+        # (XmlDoc.cpp:15263-15272)
+        kept_urls: list[str] = []
+        kept_src: list[int] = []
+        for u, s in zip(link_raw, link_src):
+            c = canonicalize(u, base=urls[s])
+            if c is not None and outlink_ok(c, urls[s]):
+                kept_urls.append(c)
+                kept_src.append(s)
+        uh_l = gbhash.uh48_batch(kept_urls)
+        sel: list[int] = []
+        cur_src = -1
+        seen_page: set = set()
+        for j in range(len(kept_urls)):
+            if kept_src[j] != cur_src:
+                cur_src = kept_src[j]
+                seen_page = set()
+            u48 = int(uh_l[j])
+            if u48 in seen_page:
+                continue
+            seen_page.add(u48)
+            sel.append(j)
+        r_urls = [kept_urls[j] for j in sel]
+        r_src = np.fromiter((kept_src[j] for j in sel), np.int64, len(sel))
+        hosts = [get_host(u) for u in r_urls]
+        domains = [get_domain(h) for h in hosts]
+        ips = np.fromiter(
+            (resolve_ip(h, self.host_ip) for h in hosts), np.int64, len(hosts)
+        )
+        nz = len(sel)
+        req = _records(
+            nz,
+            rec="request",
+            part=_part_vec(ips, self.P),
+            url=r_urls,
+            uh48=uh_l[sel] if nz else np.empty(0, np.uint64),
+            first_ip=ips,
+            host=hosts,
+            dom_hash32=gbhash.hash32_batch(domains).astype(np.int64),
+            site_hash32=gbhash.hash32_batch(hosts).astype(np.int64),
+            hop_count=(hop[r_src] + 1).astype(np.int32),
+            added_time=end_s[r_src],
+            parent_ip=first_ip[r_src],
+            is_injecting=np.zeros(nz, bool),
+            is_addurl=np.zeros(nz, bool),
+            is_reindex=np.zeros(nz, bool),
+            fake_first_ip=np.zeros(nz, bool),
+            wave=wave[r_src],
+        )
+        return pa.concat_tables([reply, doc, req])
 
 
 # ---------------------------------------------------------------------------
