@@ -250,7 +250,27 @@ class CrawlResult:
 
 
 def _merge_results(cores_data, out_dir, waves) -> CrawlResult:
-    launch_tbls = [d["launch_log"] for d in cores_data if d["launch_log"].num_rows]
+    """Collect the crawl outputs.  Launch log and URL-seen are read from
+    the per-partition parquet segments under out_dir/frontier (the actors
+    stream them there; only hot scheduling state lives in actor RAM —
+    at 100 TB the caller would consume these as a ray.data.read_parquet
+    over the directory instead of a driver-side table)."""
+    frontier_dir = os.path.join(out_dir, "frontier")
+    launch_tbls = []
+    seen_pairs: list = []
+    if os.path.isdir(frontier_dir):
+        for part in sorted(os.listdir(frontier_dir)):
+            d = os.path.join(frontier_dir, part)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.startswith("launch-"):
+                    launch_tbls.append(pq.read_table(os.path.join(d, f)))
+                elif f.startswith("seen-"):
+                    t = pq.read_table(os.path.join(d, f))
+                    seen_pairs.extend(
+                        zip(t["uh48"].to_pylist(), t["url"].to_pylist())
+                    )
     launch = (
         pa.concat_tables(launch_tbls) if launch_tbls else LAUNCH_SCHEMA.empty_table()
     )
@@ -260,7 +280,7 @@ def _merge_results(cores_data, out_dir, waves) -> CrawlResult:
             sort_keys=[("wave", "ascending"), ("part_id", "ascending"), ("seq", "ascending")],
         )
         launch = launch.take(idx)
-    url_seen = sorted(x for d in cores_data for x in d["url_seen"])
+    url_seen = sorted(seen_pairs)
     fetch_log = sorted(x for d in cores_data for x in d["fetch_log"])
     metrics: dict = {}
     for d in cores_data:
@@ -289,7 +309,7 @@ def run_crawl(
         # previous run in the same directory
         import shutil
 
-        for sub in ("docs", "checkpoints"):
+        for sub in ("docs", "checkpoints", "frontier"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     web = SynthWeb(web_cfg)
     host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
@@ -339,7 +359,12 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
                 blobs.append(f.read())
         actors = [RestoredActor.remote(blob) for blob in blobs]
         with open(manifest_path) as f:
-            ck_wave = json.load(f)["wave"]
+            manifest = json.load(f)
+        ck_wave = manifest["wave"]
+        # restore the driver's virtual clock too — `now` may be ahead of
+        # the minimum next-event (now = max(now, nxt+window)), and an
+        # exact resume must not re-launch at earlier virtual times
+        ck_now = manifest.get("now", 0)
         # drop doc partitions written after the checkpoint (partial waves);
         # completed waves 1..ck_wave carry doc wave fields 0..ck_wave-1
         import shutil
@@ -351,7 +376,8 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
                     shutil.rmtree(os.path.join(docs_root, d))
         resumed = True
     else:
-        actors = [FrontierActor.remote(p, cfg) for p in range(P)]
+        log_dir = os.path.join(out_dir, "frontier")
+        actors = [FrontierActor.remote(p, cfg, log_dir) for p in range(P)]
     if not resumed:
         import pickle
 
@@ -362,7 +388,7 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
                 for p, sub in split_by_partition(cols, P)
             ]
         )
-    now = 0
+    now = ck_now if resumed else 0
     waves = ck_wave if resumed else 0
     stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
     # driver-tracked next-event per partition: refreshed from each
@@ -455,7 +481,7 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
                 )
             }
         if checkpoint_every and waves % checkpoint_every == 0:
-            _checkpoint_all(ray, actors, out_dir, waves)
+            _checkpoint_all(ray, actors, out_dir, waves, now)
         if cfg.stop_after_waves and waves >= cfg.stop_after_waves:
             break  # simulated kill (test hook for resume)
     if os.environ.get("GRAFT_TIMING"):
@@ -463,10 +489,8 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     if checkpoint_every:
         # final checkpoint: lets `inject` add URLs to the finished crawl
         # and `crawl --resume` continue it
-        _checkpoint_all(ray, actors, out_dir, waves)
-    data = ray.get([a.snapshot_ipc.remote() for a in actors])
-    for d in data:
-        d["launch_log"] = ipc_to_table(d["launch_log"])
+        _checkpoint_all(ray, actors, out_dir, waves, now)
+    data = ray.get([a.finalize.remote() for a in actors])
     for a in actors:
         ray.kill(a)
     return _merge_results(data, out_dir, waves)
@@ -478,7 +502,7 @@ class _RestoredFrontier(FrontierCore):
         self.__dict__.update(core.__dict__)
 
 
-def _checkpoint_all(ray_mod, actors, out_dir, wave):
+def _checkpoint_all(ray_mod, actors, out_dir, wave, now=0):
     os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
     blobs = ray_mod.get(
         [a.checkpoint_bytes.remote({"wave": wave}) for a in actors]
@@ -489,18 +513,16 @@ def _checkpoint_all(ray_mod, actors, out_dir, wave):
             f.write(blob)
         os.replace(tmp, _ckpt_path(out_dir, p))
     with open(os.path.join(out_dir, "checkpoints", "MANIFEST.json"), "w") as f:
-        json.dump({"wave": wave, "partitions": len(actors)}, f)
+        json.dump({"wave": wave, "now": now, "partitions": len(actors)}, f)
 
 
-# FrontierCore needs a snapshot method for result collection; attach here to
-# keep the state module Ray-agnostic.
-def _snapshot(self) -> dict:
-    return {
-        "launch_log": self.launch_log(),
-        "url_seen": self.url_seen(),
-        "fetch_log": self.fetch_log(),
-        "metrics": self.get_metrics(),
-    }
+# FrontierCore needs result-collection methods; attach here to keep the
+# state module Ray-agnostic.
+def _finalize(self) -> dict:
+    """Flush durable log segments; return only the small in-RAM outputs
+    (launch log + URL-seen are then read from disk by the driver)."""
+    self.flush_logs()
+    return {"fetch_log": self.fetch_log(), "metrics": self.get_metrics()}
 
 
 def _schedule_ipc(self, now_ms: int, wave_no: int | None = None) -> tuple:
@@ -512,12 +534,6 @@ def _schedule_ipc(self, now_ms: int, wave_no: int | None = None) -> tuple:
     if t.num_rows:
         _verify_launch_table(t, "actor-out")
     return table_to_ipc(t), self.next_event_ms()
-
-
-def _snapshot_ipc(self) -> dict:
-    d = _snapshot(self)
-    d["launch_log"] = table_to_ipc(d["launch_log"])
-    return d
 
 
 def _add_requests_blob(self, blob: bytes, token=None) -> int:
@@ -550,9 +566,8 @@ def _apply_blob(self, blob: bytes) -> int:
     return n
 
 
-FrontierCore.snapshot = _snapshot
+FrontierCore.finalize = _finalize
 FrontierCore.schedule_ipc = _schedule_ipc
-FrontierCore.snapshot_ipc = _snapshot_ipc
 FrontierCore.add_requests_blob = _add_requests_blob
 FrontierCore.complete_blob = _complete_blob
 FrontierCore.apply_blob = _apply_blob
@@ -565,7 +580,8 @@ FrontierCore.apply_blob = _apply_blob
 
 def _run_local(web, host_ip, web_cfg, cfg, out_dir):
     P = cfg.num_partitions
-    cores = [FrontierCore(p, cfg) for p in range(P)]
+    log_dir = os.path.join(out_dir, "frontier")
+    cores = [FrontierCore(p, cfg, log_dir) for p in range(P)]
     cols = seed_columns(web, host_ip)
     for p, sub in split_by_partition(cols, P):
         cores[p].add_requests(sub)
@@ -600,5 +616,5 @@ def _run_local(web, host_ip, web_cfg, cfg, out_dir):
             for p, sub in _group_parts(reps):
                 cores[p].complete(_table_to_cols(sub, REPLY_COLS))
                 events[p] = 0
-    data = [c.snapshot() for c in cores]
+    data = [c.finalize() for c in cores]
     return _merge_results(data, out_dir, waves)

@@ -32,11 +32,14 @@ route-back arrival order cannot change state.
 
 from __future__ import annotations
 
+import os
 import pickle
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..functions import gbhash
 from ..functions.schedule import (
@@ -86,6 +89,10 @@ class CrawlConfig:
     # still enforced in virtual ms (launch times only move later, never
     # earlier).  0 = event-at-a-time (finest granularity).
     wave_window_ms: int = 250
+    # launch-log / URL-seen rows buffered in the actor before spilling a
+    # parquet segment (the Rdb dump threshold analogue, Rdb.cpp dump
+    # lifecycle: RAM tree bounded, disk authoritative)
+    log_flush_rows: int = 32768
 
     def filter_rules(self):
         return list(self.rules) if self.rules else default_web_rules()
@@ -141,8 +148,13 @@ REPLY_COLS = (
 )
 
 
+#: retry-dedup tokens retained per actor; Ray task retries land close in
+#: time, so a bounded window gives exactly-once without unbounded growth
+TOKEN_WINDOW = 4096
+
+
 class FrontierCore:
-    def __init__(self, part_id: int, cfg: CrawlConfig):
+    def __init__(self, part_id: int, cfg: CrawlConfig, log_dir: str | None = None):
         self.part_id = part_id
         self.cfg = cfg
         self.prog = FilterProgram(cfg.filter_rules())
@@ -152,7 +164,6 @@ class FrontierCore:
         self.replies: dict[int, Rep] = {}
         self.inlinks: dict[int, set] = {}  # uh48 -> parent c-blocks (SpiderColl.cpp:2701-2742)
         self.by_ip: dict[int, set] = {}  # ip -> pending uh48s
-        self.seen: dict[int, str] = {}  # uh48 -> canonical url (URL-seen report)
         self.deleted: set = set()
         # scheduler state
         self.waiting: dict[int, int] = {}  # ip -> next eligible ms
@@ -161,9 +172,21 @@ class FrontierCore:
         self.last_download: dict[int, int] = {}  # ip -> last download end ms
         self.cd_table: dict[int, int] = {}  # dom_hash32 -> crawl delay ms
         self.urlseen = UrlSeen(cfg.bloom_bits, exact=cfg.exact_urlseen)
-        # logs / metrics
-        self.launches: list = []
-        self.applied_tokens: set = set()  # idempotency: Ray task retries may re-send a batch
+        # durable logs: launch log + URL-seen report stream to parquet
+        # segments under log_dir so actor RSS is bounded by the HOT
+        # scheduling state, not crawl history (reference: spiderdb on
+        # disk, Rdb dump/merge lifecycle).  log_dir=None (unit tests,
+        # cold-start jobs) keeps everything buffered in RAM.
+        self.log_dir = log_dir
+        self._launch_buf: list[pa.Table] = []
+        self._launch_buf_rows = 0
+        self._launch_segs: list[str] = []
+        self._seen_uh: list[int] = []
+        self._seen_url: list[str] = []
+        self._seen_segs: list[str] = []
+        # idempotency: Ray task retries may re-send a batch (insertion-
+        # ordered dict = bounded FIFO window)
+        self.applied_tokens: dict = {}
         self.seq = 0
         self.wave = 0
         self.metrics = {"added": 0, "dup_dropped": 0, "force_deleted": 0, "launched": 0, "completed": 0, "errors": 0}
@@ -178,7 +201,9 @@ class FrontierCore:
             return False
         if token in self.applied_tokens:
             return True
-        self.applied_tokens.add(token)
+        self.applied_tokens[token] = None
+        if len(self.applied_tokens) > TOKEN_WINDOW:
+            self.applied_tokens.pop(next(iter(self.applied_tokens)))
         return False
 
     def add_requests(self, cols: dict, token=None) -> int:
@@ -258,6 +283,7 @@ class FrontierCore:
                 "discovery_time": int(added[i]),
             }
             srh = int(salts[i] ^ np.uint64(req["site_hash32"] & 0xFFFFFFFF))
+            newly_seen = u48 not in self.requests
             slot = self.requests.setdefault(u48, {})
             prev = slot.get(srh)
             if prev is None:
@@ -274,7 +300,13 @@ class FrontierCore:
                 else:
                     admitted += 1  # counted, but merged away
                     continue
-            self.seen.setdefault(u48, url)
+            if newly_seen:
+                # URL-seen report entry: exactly once per uh48 (the first
+                # slot creation), streamed out like the launch log
+                self._seen_uh.append(u48)
+                self._seen_url.append(url)
+                if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
+                    self._flush_seen()
             self.by_ip.setdefault(ip, set()).add(u48)
             if self.in_flight_ip.get(ip, 0) == 0:
                 self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
@@ -521,10 +553,14 @@ class FrontierCore:
                     budget_hit = True
             del self.waiting[ip]  # doled XOR waiting
         self.wave += 1
-        self.launches.extend(rows)
         if not rows:
             return LAUNCH_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=LAUNCH_SCHEMA)
+        t = pa.Table.from_pylist(rows, schema=LAUNCH_SCHEMA)
+        self._launch_buf.append(t)
+        self._launch_buf_rows += t.num_rows
+        if self.log_dir and self._launch_buf_rows >= self.cfg.log_flush_rows:
+            self._flush_launches()
+        return t
 
     # -- completion --------------------------------------------------------
 
@@ -569,15 +605,74 @@ class FrontierCore:
                 self.metrics["errors"] += 1
         return n
 
+    # -- durable log segments ---------------------------------------------
+
+    def _part_dir(self) -> str:
+        d = os.path.join(self.log_dir, f"part-{self.part_id:05d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _write_seg(self, t: pa.Table, name: str) -> None:
+        d = self._part_dir()
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(d, name))
+
+    def _flush_launches(self) -> None:
+        if not self._launch_buf_rows:
+            return
+        name = f"launch-{len(self._launch_segs):06d}.parquet"
+        self._write_seg(pa.concat_tables(self._launch_buf), name)
+        self._launch_segs.append(name)
+        self._launch_buf = []
+        self._launch_buf_rows = 0
+
+    def _flush_seen(self) -> None:
+        if not self._seen_uh:
+            return
+        name = f"seen-{len(self._seen_segs):06d}.parquet"
+        self._write_seg(
+            pa.table(
+                {
+                    "uh48": pa.array(self._seen_uh, pa.uint64()),
+                    "url": pa.array(self._seen_url, pa.string()),
+                }
+            ),
+            name,
+        )
+        self._seen_segs.append(name)
+        self._seen_uh = []
+        self._seen_url = []
+
+    def flush_logs(self) -> None:
+        """Spill all buffered log rows to parquet segments (no-op without
+        a log_dir)."""
+        if self.log_dir is None:
+            return
+        self._flush_launches()
+        self._flush_seen()
+
     # -- reporting / checkpoint -------------------------------------------
 
     def launch_log(self) -> pa.Table:
-        if not self.launches:
+        tbls = []
+        if self.log_dir is not None:
+            d = self._part_dir()
+            tbls = [pq.read_table(os.path.join(d, s)) for s in self._launch_segs]
+        tbls += self._launch_buf
+        if not tbls:
             return LAUNCH_SCHEMA.empty_table()
-        return pa.Table.from_pylist(self.launches, schema=LAUNCH_SCHEMA)
+        return pa.concat_tables(tbls)
 
     def url_seen(self) -> list:
-        return sorted(self.seen.items())
+        pairs = []
+        if self.log_dir is not None:
+            d = self._part_dir()
+            for s in self._seen_segs:
+                t = pq.read_table(os.path.join(d, s))
+                pairs.extend(zip(t["uh48"].to_pylist(), t["url"].to_pylist()))
+        pairs.extend(zip(self._seen_uh, self._seen_url))
+        return sorted(pairs)
 
     def fetch_log(self) -> list:
         return sorted(
@@ -592,14 +687,18 @@ class FrontierCore:
         return self.wave
 
     def checkpoint_bytes(self, lineage: dict | None = None) -> bytes:
+        """Delta-style checkpoint: buffered log rows are flushed to
+        durable segments first, so the blob carries only hot scheduling
+        state plus the segment manifest (not the crawl history)."""
+        self.flush_logs()
         st = {
             "part_id": self.part_id,
             "cfg": self.cfg,
+            "log_dir": self.log_dir,
             "requests": self.requests,
             "replies": self.replies,
             "inlinks": self.inlinks,
             "by_ip": self.by_ip,
-            "seen": self.seen,
             "deleted": self.deleted,
             "waiting": self.waiting,
             "in_flight_ip": self.in_flight_ip,
@@ -608,7 +707,11 @@ class FrontierCore:
             "cd_table": self.cd_table,
             "urlseen": self.urlseen.state(),
             "applied_tokens": self.applied_tokens,
-            "launches": self.launches,
+            "launch_segs": self._launch_segs,
+            "seen_segs": self._seen_segs,
+            # only populated when log_dir is None (RAM-only cores)
+            "launch_buf_ipc": [_tbl_ipc(t) for t in self._launch_buf],
+            "seen_buf": (self._seen_uh, self._seen_url),
             "seq": self.seq,
             "wave": self.wave,
             "metrics": self.metrics,
@@ -619,13 +722,12 @@ class FrontierCore:
     @classmethod
     def from_checkpoint_bytes(cls, blob: bytes) -> "FrontierCore":
         st = pickle.loads(blob)
-        core = cls(st["part_id"], st["cfg"])
+        core = cls(st["part_id"], st["cfg"], log_dir=st["log_dir"])
         for k in (
             "requests",
             "replies",
             "inlinks",
             "by_ip",
-            "seen",
             "deleted",
             "waiting",
             "in_flight_ip",
@@ -633,11 +735,36 @@ class FrontierCore:
             "last_download",
             "cd_table",
             "applied_tokens",
-            "launches",
             "seq",
             "wave",
             "metrics",
         ):
             setattr(core, k, st[k])
         core.urlseen = UrlSeen.from_state(st["urlseen"])
+        core._launch_segs = st["launch_segs"]
+        core._seen_segs = st["seen_segs"]
+        core._launch_buf = [_ipc_tbl(b) for b in st["launch_buf_ipc"]]
+        core._launch_buf_rows = sum(t.num_rows for t in core._launch_buf)
+        core._seen_uh, core._seen_url = st["seen_buf"]
+        if core.log_dir is not None:
+            # prune segments written after this checkpoint (the waves that
+            # produced them will be re-run)
+            keep = set(core._launch_segs) | set(core._seen_segs)
+            d = core._part_dir()
+            for f in os.listdir(d):
+                if f not in keep and (
+                    f.startswith(("launch-", "seen-", ".tmp-"))
+                ):
+                    os.remove(os.path.join(d, f))
         return core
+
+
+def _tbl_ipc(t: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_tbl(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(b)).read_all()

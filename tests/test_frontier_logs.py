@@ -1,0 +1,67 @@
+"""Durable frontier logs: launch-log/URL-seen parquet segments keep
+actor RSS bounded by hot scheduling state (reference: spiderdb on disk,
+Rdb dump lifecycle) while results stay byte-identical."""
+
+import os
+from dataclasses import replace
+
+from open_source_search_engine_ray.pipelines.crawl import run_crawl
+from open_source_search_engine_ray.sources.synthweb import WebConfig
+from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+WEB = WebConfig(n_hosts=24, n_hubs=2, hub_pages=10, max_pages=5)
+# tiny flush threshold → many segments exercised even at test scale
+CFG = CrawlConfig(
+    num_partitions=3, horizon_ms=500_000, fetch_concurrency=2, log_flush_rows=16
+)
+
+
+def test_segment_spill_matches_unspilled(tmp_path, ray_session):
+    spilled = run_crawl(WEB, CFG, str(tmp_path / "a"), engine="ray")
+    plain = run_crawl(
+        WEB, replace(CFG, log_flush_rows=1 << 20), str(tmp_path / "b"), engine="ray"
+    )
+    assert spilled.metrics["launched"] > 20
+    assert spilled.launch_log.to_pylist() == plain.launch_log.to_pylist()
+    assert spilled.url_seen == plain.url_seen
+    assert spilled.fetch_log == plain.fetch_log
+    # segments actually spilled mid-run (more than the single final flush)
+    part0 = os.path.join(str(tmp_path / "a"), "frontier", "part-00000")
+    segs = [f for f in os.listdir(part0) if f.startswith("launch-")]
+    assert len(segs) >= 2
+
+
+def test_kill_resume_bloom_only_with_spill(tmp_path, ray_session):
+    """Resume from checkpoint with exact_urlseen=False (bloom-only URL
+    dedup, the 10^10-URL path) and mid-run segment spill."""
+    cfg = replace(CFG, exact_urlseen=False, bloom_bits=1 << 18)
+    truth = run_crawl(WEB, cfg, str(tmp_path / "truth"), engine="ray")
+    out = str(tmp_path / "resumable")
+    partial = run_crawl(
+        WEB,
+        replace(cfg, stop_after_waves=6),
+        out,
+        engine="ray",
+        checkpoint_every=3,
+    )
+    assert partial.metrics["launched"] < truth.metrics["launched"]
+    resumed = run_crawl(WEB, cfg, out, engine="ray", resume=True)
+    assert resumed.metrics == truth.metrics
+    assert resumed.launch_log.to_pylist() == truth.launch_log.to_pylist()
+    assert resumed.url_seen == truth.url_seen
+    assert resumed.fetch_log == truth.fetch_log
+
+
+def test_checkpoint_blob_excludes_history(tmp_path, ray_session):
+    """Checkpoints carry hot state + segment manifest, not crawl
+    history: a flushed core's blob holds zero buffered launch rows."""
+    import pickle
+
+    out = str(tmp_path / "ck")
+    run_crawl(WEB, CFG, out, engine="ray", checkpoint_every=2)
+    for p in range(CFG.num_partitions):
+        with open(os.path.join(out, "checkpoints", f"part-{p:05d}.ckpt"), "rb") as f:
+            st = pickle.loads(f.read())
+        assert st["launch_buf_ipc"] == []
+        assert st["seen_buf"] == ([], [])
+        assert "launches" not in st and "seen" not in st
