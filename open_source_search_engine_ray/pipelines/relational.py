@@ -156,80 +156,97 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue": [round(total, 2)]})
 
 
+#: shuffle-join partition count for the fact-side hash joins below;
+#: at larger SF this scales with cluster size, not data size per worker
+JOIN_PARTS = 8
+
+
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: broadcast join (filtered orders ⋈ customer
-    segment) + grouped revenue + top-k."""
+    """TPC-H Q3 shape: the FACT side (orders⋈lineitem) is a distributed
+    hash join — only the segment-filtered customer KEYS are broadcast
+    (a filtered dimension fits in memory; orders/lineitem never touch
+    the driver)."""
     import ray
+    from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
     cutoff = pd.Timestamp("1997-01-01")
-    orders = orders[(orders["o_custkey"].isin(keep_cust)) & (orders["o_orderdate"] < cutoff)]
-    okeys = np.sort(orders["o_orderkey"].to_numpy())
-    ref = ray.put(okeys)  # numpy array: zero-copy on every worker get
+    ckeys = np.sort(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    ref = ray.put(ckeys)
 
-    def join_rev(df: pd.DataFrame) -> pd.DataFrame:
-        ok = bget(ref)
-        keep = np.zeros(len(df), dtype=bool)
-        lk = df["l_orderkey"].to_numpy()
-        idx = np.searchsorted(ok, lk)
-        idx = np.clip(idx, 0, len(ok) - 1)
-        keep = (ok[idx] == lk) & (df["l_shipdate"].to_numpy() > np.datetime64(cutoff))
-        df = df[keep]
-        if df.empty:
-            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"), "revenue": pd.Series([], dtype="float64")})
+    def filt_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ck = bget(ref)
+        _, hit = np_lookup(df["o_custkey"].to_numpy(), ck, ck, -1)
+        keep = hit & (df["o_orderdate"] < cutoff).to_numpy()
+        return df.loc[keep, ["o_orderkey"]]
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filt_orders, batch_format="pandas", batch_size=128 * 1024)
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
-        out = df.assign(revenue=rev).groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return out
+        return df.assign(revenue=rev).groupby("l_orderkey", as_index=False)[
+            "revenue"
+        ].sum()
 
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    ds = ds.map_batches(join_rev, batch_format="pandas", batch_size=128 * 1024)
-    # batches are already per-batch aggregated (one row per orderkey per
-    # batch); finalize the small partial set on the driver — cheaper than
-    # a 100k+-group shuffle for a top-10 answer
-    parts = ds.to_pandas()
-    agg = parts.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
+
+    j = li.join(orders, "inner", JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (
+        j.groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
     agg["revenue"] = agg["revenue"].round(2)
     agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return agg.reset_index(drop=True)
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5 shape: dimension chain region→nation→customer broadcast,
-    revenue by nation."""
+    """TPC-H Q5 shape: orders⋈customer and lineitem⋈orders as
+    distributed hash joins; only the tiny nation table is broadcast.
+    No fact table is materialized on the driver."""
     import ray
-
-    region = _read(sf_dir, "region").to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    dims = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    )
-    # map order → nation name index directly (numpy broadcast join)
-    cust_nation = dict(zip(dims["c_custkey"], dims["n_name"]))
-    nat_names = np.array(sorted(set(cust_nation.values())), dtype=object)
-    nat_idx = {n: i for i, n in enumerate(nat_names)}
-    ok = orders["o_orderkey"].to_numpy()
-    order_nat = orders["o_custkey"].map(cust_nation).map(nat_idx).fillna(-1).to_numpy(dtype=np.int64)
-    srt = np.argsort(ok)
-    ref = ray.put((ok[srt], order_nat[srt], nat_names))
-
-    def rev(df: pd.DataFrame) -> pd.DataFrame:
-        okeys, onat, names = bget(ref)
-        ni, hit = np_lookup(df["l_orderkey"].to_numpy(), okeys, onat, -1)
-        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
-        m = hit & (ni >= 0)
-        out = pd.DataFrame({"n_name": names[ni[m]], "revenue": rev[m]})
-        return out.groupby("n_name", as_index=False)["revenue"].sum()
-
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    ds = ds.map_batches(rev, batch_format="pandas", batch_size=128 * 1024)
     from ray.data.aggregate import Sum
 
-    out = ds.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def cust_nation(df: pd.DataFrame) -> pd.DataFrame:
+        nm = bget(nref)
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"], "n_name": df["c_nationkey"].map(nm)}
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_nation, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ords = orders.join(
+        cust, "inner", JOIN_PARTS, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "n_name"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.assign(revenue=rev).groupby("l_orderkey", as_index=False)[
+            "revenue"
+        ].sum()
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
+    j = li.join(ords, "inner", JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = j.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
 

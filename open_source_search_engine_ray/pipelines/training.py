@@ -62,11 +62,14 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = ds.map_batches(fp, batch_format="pandas")
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+    # Min aggregate, not 1-row map_groups frames: at 100 TB there are
+    # ~as many unique fingerprints as documents, and millions of tiny
+    # pandas groups would dominate the runtime
+    from ray.data.aggregate import Min
 
-    out = ds.groupby("fp").map_groups(keep_min, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -153,29 +156,37 @@ def minhash_lsh_dedup(
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Exact n-gram Jaccard verification of LSH candidates (the
-    verify-after-sketch stage)."""
-    import ray
-
-    cand = minhash_lsh_dedup(sf_dir, threshold=0.3)
-    docs = _augmented_docs(sf_dir).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    ref = ray.put(texts)
+    verify-after-sketch stage).  Scale shape: candidate pairs are
+    hash-joined against the documents table twice (doc_a side, doc_b
+    side) — only candidate texts move, the corpus is never broadcast."""
     import ray.data as rd
 
+    cand = minhash_lsh_dedup(sf_dir, threshold=0.3)
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    ds = rd.from_pandas(cand)
+    docs = _augmented_docs(sf_dir)
+    cand_ds = rd.from_pandas(cand[["doc_a", "doc_b"]])
+    nparts = 8
+    j1 = cand_ds.join(
+        docs, "inner", nparts, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda df: df.rename(columns={"text": "text_a"})[["doc_a", "doc_b", "text_a"]],
+        batch_format="pandas",
+    )
+    j2 = j1.join(
+        _augmented_docs(sf_dir), "inner", nparts, on=("doc_b",), right_on=("doc_id",)
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(ref)
         jac = [
-            round(dd.exact_jaccard(tx[a], tx[b]), 4)
-            for a, b in zip(df["doc_a"], df["doc_b"])
+            round(dd.exact_jaccard(a, b), 4)
+            for a, b in zip(df["text_a"], df["text"])
         ]
-        df = df.assign(jaccard=jac)
-        return df[df["jaccard"] >= threshold]
+        out = df[["doc_a", "doc_b"]].assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
 
-    out = ds.map_batches(verify, batch_format="pandas").to_pandas()
+    out = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -235,6 +246,14 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def stack_embeddings(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) ndarray via one flatten+reshape
+    (no per-row Python objects; zero-copy when the buffer allows)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
 def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
     + local top-k over ROUNDED scores (all k-th-score ties kept so the
@@ -243,17 +262,20 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
     import ray
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = ds.map_batches(
-        lambda df: df[df["vec_id"] < n_queries], batch_format="pandas"
-    ).to_pandas()
-    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    qids = qdf["vec_id"].to_numpy()
+    qt = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], n_queries)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    Q = stack_embeddings(qt["embedding"]).astype(np.float64)
+    qids = qt["vec_id"].to_numpy()
     ref = ray.put((qids, Q))
 
-    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def topk_batch(t: pa.Table) -> pd.DataFrame:
         qids, Q = ray.get(ref)
-        V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        ids = df["vec_id"].to_numpy()
+        V = stack_embeddings(t["embedding"]).astype(np.float64)
+        ids = t["vec_id"].to_numpy()
         qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
         vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         sims_r = np.round(qn @ vn.T, 6)  # (Q, N) rounded BEFORE selection
@@ -264,7 +286,7 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
             {"query_id": qids[qi], "vec_id": ids[vi], "score": sims_r[qi, vi]}
         )
 
-    parts = ds.map_batches(topk_batch, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = ds.map_batches(topk_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
     parts = parts.sort_values(
         ["query_id", "score", "vec_id"], ascending=[True, False, True]
     )
@@ -272,52 +294,110 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs over embeddings ∪ noisy copies.
-    Block-wise matmul against the broadcast (small-side) matrix — at
-    larger scale this becomes IVF/LSH-bucketed (same verify kernel)."""
-    import ray
+from functools import lru_cache
 
+
+@lru_cache(maxsize=8)
+def _hyperplanes(dim: int, nbits: int, seed: int = 11) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-bit embedding LSH
+    (computed once per worker process)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(nbits, dim))
+
+
+def _aug_embeddings(sf_dir: str):
+    """embeddings ∪ noisy copies of vec_id % 5 == 0 (arrow-native)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def aug(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[df["vec_id"] % 5 == 0].copy()
-        vecs = np.stack(c["embedding"].to_numpy()).astype(np.float64)
-        rng_scale = 0.01
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        sel = np.nonzero(ids % 5 == 0)[0]
+        V = stack_embeddings(t["embedding"])[sel].astype(np.float64)
         noise = np.stack(
             [
-                np.random.Generator(np.random.PCG64(int(v))).normal(0, rng_scale, vecs.shape[1])
-                for v in c["vec_id"]
+                np.random.Generator(np.random.PCG64(int(v))).normal(0, 0.01, V.shape[1])
+                for v in ids[sel]
             ]
+        ) if len(sel) else np.empty((0, V.shape[1] if V.ndim == 2 else 0))
+        new = (V + noise).astype(np.float32)
+        emb_type = t.schema.field("embedding").type
+        dim = new.shape[1] if len(sel) else 0
+        offs = np.arange(0, (len(sel) + 1) * dim, dim, dtype=np.int64) if dim else np.zeros(len(sel) + 1, np.int64)
+        new_emb = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(new.ravel(), emb_type.value_type)
+        ).cast(emb_type)
+        copies = pa.table(
+            {
+                "vec_id": pa.array(ids[sel] + AUG_OFFSET, t.schema.field("vec_id").type),
+                "embedding": new_emb,
+            }
         )
-        c["embedding"] = list((vecs + noise).astype(np.float32))
-        c["vec_id"] += AUG_OFFSET
-        return pd.concat([df, c], ignore_index=True)
+        return pa.concat_tables([t.select(["vec_id", "embedding"]), copies])
 
-    ds = ds.map_batches(aug, batch_format="pandas")
-    all_df = ds.to_pandas()
-    A = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
-    ids_all = all_df["vec_id"].to_numpy()
-    ref = ray.put((ids_all, A))
-    import ray.data as rd
+    return ds.map_batches(aug, batch_format="pyarrow")
 
-    ds2 = rd.from_pandas(all_df)
 
-    def nd(df: pd.DataFrame) -> pd.DataFrame:
-        ids_all, A = ray.get(ref)
-        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        ids = df["vec_id"].to_numpy()
-        sims = Vn @ An.T
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.95, bands: int = 8, band_bits: int = 8
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH: sign-bit
+    signatures → banded buckets (the same bounded-shuffle shape as
+    minhash_lsh_dedup) → exact cosine verify inside each bucket.  Only
+    (bucket, vec_id, embedding) rows shuffle — the matrix is never
+    broadcast and no stage is O(N²).  Recall for a pair at cosine c is
+    1-(1-p^band_bits)^bands with p = 1 - arccos(c)/π (≈0.99 at c=0.95
+    for 8×8; planted near-dups at c≈0.997 are found w.p. ~1)."""
+    nbits = bands * band_bits
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        n = len(ids)
+        V = stack_embeddings(t["embedding"]).astype(np.float64)
+        H = _hyperplanes(V.shape[1], nbits)
+        bits = (V @ H.T) > 0  # (n, nbits)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+            val = chunk @ (1 << np.arange(band_bits, dtype=np.uint64))
+            keys[:, b] = val | np.uint64(b << band_bits)  # band-salted
+        idx = np.repeat(np.arange(n), bands)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
+                "bpart": pa.array((keys.ravel() % 64).astype(np.int64)),
+                "vec_id": pa.array(ids[idx]),
+                "embedding": t["embedding"].take(idx),
+            }
+        )
+
+    exploded = _aug_embeddings(sf_dir).map_batches(
+        sig, batch_format="pyarrow", batch_size=4096
+    )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(ids)):
-            for j in np.nonzero(sims[i] >= threshold)[0]:
-                if ids[i] < ids_all[j]:
-                    rows.append((int(ids[i]), int(ids_all[j]), round(float(sims[i, j]), 4)))
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+        for _, grp in g.groupby("bucket", sort=True):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.stack(grp["embedding"].to_numpy())[order].astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = Vn @ Vn.T
+            iu, ju = np.triu_indices(len(ids), 1)
+            hit = S[iu, ju] >= threshold
+            for i, j in zip(iu[hit], ju[hit]):
+                if ids[i] != ids[j]:
+                    rows.append((int(ids[i]), int(ids[j]), round(float(S[i, j]), 4)))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
 
-    out = ds2.map_batches(nd, batch_format="pandas", batch_size=2048).to_pandas()
+    out = (
+        exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
+    )
+    out = out.drop_duplicates(["vec_a", "vec_b"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
