@@ -124,17 +124,47 @@ def _q_robots(sf_dir: str):
 
 
 def _q_urlfilter(sf_dir: str):
+    """Filter-DSL assignment over a candidate batch exercising the full
+    predicate set (booleans, reply-gated, quotas, ages, tags)."""
     from open_source_search_engine_ray.functions.urlfilter import (
         FilterProgram,
+        UrlFilterRule,
         candidate_columns,
         default_web_rules,
+        url_is_permalink_format,
+        url_is_root,
+        url_is_rssext,
     )
 
-    prog = FilterProgram(default_web_rules())
+    R = UrlFilterRule
+    rules = [
+        R("isroot && isnew", 81, 7),
+        R("isrssext", 78, 1),
+        R("ispermalinkformat && isnew", 76, 7),
+        R("tag:shallow && sitepages>=10", 30, 40, 0),
+        R("spiderwaited>=3600", 66, 1),
+        R("percentchangedperday>=10.0", 64, 1),
+        R("urlage>=86400", 62, 7),
+        R("domainpages>=50", 44, 30),
+    ] + default_web_rules()
+    prog = FilterProgram(rules)
     n = 64
     c = candidate_columns(n)
     rng = np.random.Generator(np.random.PCG64(42))
-    c["url"][:] = [f"http://www.h{i:04d}.test/p{i}.html" for i in range(n)]
+    urls = []
+    for i in range(n):
+        if i % 7 == 0:
+            urls.append(f"http://www.h{i:04d}.test/")
+        elif i % 7 == 1:
+            urls.append(f"http://www.h{i:04d}.test/feed.rss")
+        elif i % 7 == 2:
+            urls.append(f"http://www.h{i:04d}.test/2020/11/long-post-title-{i}.html")
+        else:
+            urls.append(f"http://www.h{i:04d}.test/p{i}.html")
+    c["url"][:] = urls
+    c["is_root"][:] = [url_is_root(u) for u in urls]
+    c["is_rssext"][:] = [url_is_rssext(u) for u in urls]
+    c["is_permalink_format"][:] = [url_is_permalink_format(u) for u in urls]
     c["tld"][:] = "test"
     c["lang"][:] = "en"
     c["hop_count"][:] = rng.integers(0, 6, n)
@@ -144,6 +174,12 @@ def _q_urlfilter(sf_dir: str):
     c["err_count"][:] = np.where(rng.random(n) < 0.15, rng.integers(1, 4, n), 0)
     c["err_code"][:] = np.where(c["err_count"] > 0, 1, 0)
     c["spidered_time"][:] = np.where(c["had_reply"], 1000, 0)
+    c["spiderwaited"][:] = np.where(c["had_reply"], rng.integers(0, 7200, n), 0)
+    c["percentchangedperday"][:] = np.where(rng.random(n) < 0.2, 15.0, 0.0)
+    c["url_age"][:] = rng.integers(0, 200_000, n)
+    c["sitepages"][:] = rng.integers(0, 20, n)
+    c["domainpages"][:] = rng.integers(0, 80, n)
+    c["site_tag"][:] = np.where(rng.random(n) < 0.3, "shallow", "")
     ufn = prog.assign(c)
     return pd.DataFrame(
         {

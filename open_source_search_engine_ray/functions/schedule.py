@@ -70,6 +70,17 @@ class Rep:
     content_hash32: int = 0
     lang: str = "en"
     is_indexed: bool = False
+    # URL-derived reply flags (the reference derives these from content,
+    # XmlDoc.cpp:14744-14750; our fetch subset derives from the URL)
+    is_rss: bool = False
+    is_permalink: bool = False
+    # pubdate: the reference hardwires 0 (XmlDoc.cpp:14746), making the
+    # `age` predicate never match — kept for DSL fidelity
+    pub_date: int = 0
+    # Spider.h:790: percent of content changed per day between the last
+    # two spiderings; the reference reply path ships it commented out, we
+    # revive it from the content-hash delta (0 or 100 percent) / days
+    percent_changed_per_day: float = 0.0
 
 
 def get_spider_time_ms(

@@ -8,15 +8,28 @@ spider frequency, per-IP caps, force-delete, harvest-links) apply
 (Spider.cpp:2255-2268 for ``!``/val handling; ``default`` always matches,
 Spider.cpp:2790-2800).
 
-Implemented predicate subset (reference line in Spider.cpp):
+Implemented predicates (reference line in Spider.cpp):
   boolean — hasreply 2290, hastmperror 2318 (tmp error set 2333-2344),
-  isinjected 2362, isreindex 2399, insitelist 2418, isaddurl 2456,
-  ismanualadd 2474, isindexed 2543, isnewrequest 2698, isnew 2729,
+  isinjected 2362, isdocidbased 2380 (maps to m_isPageReindex),
+  isreindex 2399, insitelist 2418, isaddurl 2456, ismanualadd 2474,
+  isroot 2504, isindexed 2543, ispingserver 2574 (Url::isPingServer
+  is hardwired false, Url.cpp:2548), isfakeip 2592, isrss 2608
+  (reply-gated), isrssext 2632, ispermalink 2651 (reply-gated),
+  ispermalinkformat 2678 (URL-format guess, Linkdb.cpp:4734-4886),
+  hasauthorityinlink 2270 (validity-gated; we never carry authority
+  info so rules using it never match, like a request with
+  m_hasAuthorityInlinkValid=0), isnewrequest 2698, isnew 2729,
   iswww 2753;
-  numeric (==,!=,<,>,<=,>=) — hopcount ~3178, lastspidertime 3204,
-  errorcount 3281, errorcode 3316, numinlinks 3350, httpstatus 3496;
-  string — tld 3041, lang 3112 (comma lists), ^prefix 3563,
-  $suffix 3600, bare substring 3642; default.
+  numeric (==,!=,<,>,<=,>=) — sitepages 2949 / domainpages 2991
+  (quota tables, SpiderColl.cpp:2754-2798), hopcount ~3178,
+  lastspidertime 3204, urlage 3245 (discovery-time age), errorcount
+  3281, errorcode 3316, numinlinks 3350, spiderwaited 3426,
+  percentchangedperday 3463 (float), httpstatus 3496, age 3527
+  (pubdate age; pubdate<=0 never matches — the reference also ships
+  pubdate hardwired 0, XmlDoc.cpp:14746);
+  string — tld 3041, lang 3112 (comma lists), tag:NAME (site-list
+  pattern tag, Spider.cpp:1771-1831), ^prefix 3563, $suffix 3600,
+  bare substring 3642; default.
 
 Evaluation is vectorized: each predicate produces a boolean numpy mask
 over the candidate batch; rules are applied in order with first-match-wins
@@ -86,20 +99,109 @@ def default_web_rules() -> list:
     ]
 
 
-_NUM_PRED = re.compile(r"^(hopcount|lastspidertime|errorcount|errorcode|numinlinks|httpstatus|urlage)\s*(==|!=|<=|>=|<|>)\s*(-?\d+)$")
+#: reference Domains.cpp:99
+PRIVACORE_BLACKLISTED_TLD = "bn,cn,id,in,hk,jp,kh,kr,lk,mm,my,ph,pk,pw,ru,sg,th,tw,ua,vn"
+#: reference Collectiondb.cpp:1640
+PRIVACORE_LANG_WHITELIST = (
+    "xx,en,bg,sr,ca,cs,da,et,fi,fr,de,el,hu,is,ga,it,lv,lt,lb,nl,pl,pt,ro,es,sv,no,vv"
+)
+
+
+def privacore_rules() -> list:
+    """The "privacore" URL-filter profile, row for row
+    (Collectiondb.cpp:1639-1840 rebuildPrivacoreRules)."""
+    R = UrlFilterRule
+    return [
+        R("isreindex", 80, 0, 99, 1, 1000),
+        R(f"lang!={PRIVACORE_LANG_WHITELIST}", 100, 0, 99, 1, 1000,
+          force_delete=True, harvest_links=False),
+        R(f"tld=={PRIVACORE_BLACKLISTED_TLD}", 100, 0, 99, 1, 1000,
+          force_delete=True, harvest_links=False),
+        R("errorcount>=3 && !hastmperror", 100, 0, 99, 1, 1000,
+          force_delete=True, harvest_links=False),
+        R("errorcount>=3 && hastmperror", 45, 3, 1, 1, 1000),
+        R("errorcount>=1 && hastmperror", 45, 1, 1, 1, 1000),
+        R("isaddurl", 85, 7, 99, 7, 1000),
+        R("hopcount==0 && iswww && isnew", 50, 7, 9, 7, 1000),
+        R("hopcount==0 && iswww", 48, 7.0, 9, 7, 1000),
+        R("hopcount==0 && isnew", 18, 7.0, 9, 7, 1000),
+        R("hopcount==0", 17, 10.0, 9, 7, 1000),
+        R("hopcount==1 && isnew", 16, 20.0, 9, 7, 1000),
+        R("hopcount==1", 15, 20.0, 9, 7, 1000),
+        R("hopcount==2 && isnew", 14, 40, 9, 7, 1000),
+        R("hopcount==2", 13, 40, 9, 7, 1000),
+        R("hopcount>=3 && isnew", 12, 60, 9, 7, 1000),
+        R("hopcount>=3", 11, 60, 9, 7, 1000),
+        R("default", 1, 60, 9, 7, 1000),
+    ]
+
+
+def shallow_rules() -> list:
+    """The "shallow" URL-filter profile, row for row
+    (Collectiondb.cpp:2248-2440 rebuildShallowRules): sites tagged
+    ``shallow`` in the site list stop at hopcount 2 or 10 indexed pages
+    (max_spiders_per_rule=0 = never launch)."""
+    R = UrlFilterRule
+    return [
+        R("isreindex", 80, 0, 99, 1, 1000),
+        R("!ismanualadd && !insitelist", 100, 0, 99, 1, 1000, force_delete=True),
+        R("errorcount>=3 && hastmperror", 100, 1, 1, 1, 1000, force_delete=True),
+        R("errorcount>=1 && hastmperror", 45, 1, 1, 1, 1000),
+        R("isaddurl", 85, 7, 99, 7, 1000),
+        R("tag:shallow && hopcount>=2", 30, 40, 0, 7, 1000),
+        R("tag:shallow && sitepages>=10", 30, 40, 0, 7, 1000),
+        R("hopcount==0 && iswww && isnew", 50, 7, 9, 7, 1000),
+        R("hopcount==0 && iswww", 48, 7.0, 9, 7, 1000),
+        R("hopcount==0 && isnew", 49, 7.0, 9, 7, 1000),
+        R("hopcount==0", 47, 10.0, 9, 7, 1000),
+        R("hopcount==1 && isnew", 40, 20.0, 9, 7, 1000),
+        R("hopcount==1", 39, 20.0, 9, 7, 1000),
+        R("hopcount==2 && isnew", 30, 40, 9, 7, 1000),
+        R("hopcount==2", 29, 40, 9, 7, 1000),
+        R("hopcount>=3 && isnew", 22, 60, 9, 7, 1000),
+        R("hopcount>=3", 21, 60, 9, 7, 1000),
+        R("default", 1, 60, 9, 7, 1000),
+    ]
+
+
+PROFILES = {
+    "web": default_web_rules,
+    "privacore": privacore_rules,
+    "shallow": shallow_rules,
+}
+
+
+_NUM_PRED = re.compile(
+    r"^(hopcount|lastspidertime|errorcount|errorcode|numinlinks|httpstatus"
+    r"|urlage|sitepages|domainpages|spiderwaited|age)\s*(==|!=|<=|>=|<|>)\s*(-?\d+)$"
+)
+_FLOAT_PRED = re.compile(
+    r"^(percentchangedperday)\s*(==|!=|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$"
+)
 _STR_PRED = re.compile(r"^(tld|lang)\s*(==|!=)\s*([\w,.\-]+)$")
+_TAG_PRED = re.compile(r"^tag:([\w\-]+)$")
 
 _BOOL_FIELDS = {
     "hasreply": "had_reply",
     "isinjected": "is_injecting",
     "isreindex": "is_reindex",
+    "isdocidbased": "is_reindex",  # Spider.cpp:2385 maps it to m_isPageReindex
     "insitelist": "in_sitelist",
     "isaddurl": "is_addurl",
     "ismanualadd": "is_manualadd",
     "isindexed": "is_indexed",
     "isnew": "had_reply",  # inverted below (isnew ⇔ !hadReply, Spider.cpp:2729-2751)
     "iswww": "is_www",
+    "isroot": "is_root",
+    "ispingserver": "is_pingserver",
+    "isfakeip": "fake_first_ip",
+    "isrssext": "is_rssext",
+    "ispermalinkformat": "is_permalink_format",
 }
+
+#: reply-gated booleans: without a SpiderReply the rule cannot match
+#: (Spider.cpp:2614, 2657 — `if ( ! srep ) continue`)
+_REPLY_BOOL_FIELDS = {"isrss": "is_rss", "ispermalink": "is_permalink"}
 
 _NUM_FIELDS = {
     "hopcount": "hop_count",
@@ -109,7 +211,15 @@ _NUM_FIELDS = {
     "numinlinks": "num_inlinks",
     "httpstatus": "http_status",
     "urlage": "url_age",
+    "sitepages": "sitepages",
+    "domainpages": "domainpages",
+    "spiderwaited": "spiderwaited",
+    "age": "age",
 }
+
+#: numeric predicates that require a reply (reference: `if (!srep) continue`
+#: at Spider.cpp:3290, 3325, 3436, 3507, 3213)
+_REPLY_NUM_FIELDS = {"spidered_time", "http_status", "err_count", "err_code", "spiderwaited"}
 
 _OPS = {
     "==": np.equal,
@@ -161,17 +271,49 @@ def _compile_predicate(token: str):
 
         return newreq
 
-    m = _NUM_PRED.match(token)
+    if token in _REPLY_BOOL_FIELDS:
+        fld = _REPLY_BOOL_FIELDS[token]
+
+        def replyboolpred(c, fld=fld, neg=neg):
+            v = c[fld].astype(bool)
+            return c["had_reply"].astype(bool) & (~v if neg else v)
+
+        return replyboolpred
+
+    if token == "hasauthorityinlink":
+        # validity-gated (Spider.cpp:2272-2276): we never carry inlink
+        # authority info, so the gate keeps any rule using it unmatched
+        def authpred(c, neg=neg):
+            v = c["has_authority_inlink"].astype(bool)
+            return c["authority_inlink_valid"].astype(bool) & (~v if neg else v)
+
+        return authpred
+
+    m = _TAG_PRED.match(token)
     if m:
-        fld = _NUM_FIELDS[m.group(1)]
+        name = m.group(1)
+
+        def tagpred(c, name=name, neg=neg):
+            col = c["site_tag"]
+            r = np.fromiter((t == name for t in col), dtype=bool, count=len(col))
+            return ~r if neg else r
+
+        return tagpred
+
+    m = _NUM_PRED.match(token) or _FLOAT_PRED.match(token)
+    if m:
+        fld = _NUM_FIELDS.get(m.group(1), "percentchangedperday")
         op = _OPS[m.group(2)]
-        rhs = int(m.group(3))
+        rhs = float(m.group(3)) if fld == "percentchangedperday" else int(m.group(3))
 
         def numpred(c, fld=fld, op=op, rhs=rhs, neg=neg):
             r = op(c[fld], rhs)
             # reply-based numeric predicates never match without a reply
-            if fld in ("spidered_time", "http_status"):
+            if fld in _REPLY_NUM_FIELDS or fld == "percentchangedperday":
                 r = r & c["had_reply"].astype(bool)
+            if fld == "age":
+                # invalid pubdate age never matches (Spider.cpp:3538-3541)
+                r = r & (c["age"] > 0)
             return ~r if neg else r
 
         return numpred
@@ -266,6 +408,81 @@ class FilterProgram:
         return out
 
 
+_ROOT_RE = re.compile(r"^https?://[^/]+/?$")
+_PERM_EXCLUDE = (
+    "/tag/", "/category", "/cat_", "/cat/", "forum", "thread",
+    "/search.", "/search/", "/comment.html", "/comments/", "/trackback",
+    "/profile.", "/archives.", "_archive.",
+)
+
+
+def url_is_root(url: str) -> bool:
+    """Root check (Spider.cpp:2504-2520 scan: nothing after the first
+    path slash)."""
+    return bool(_ROOT_RE.match(url))
+
+
+def url_is_rssext(url: str) -> bool:
+    """Request-side RSS guess by extension (Sections.cpp:109-111;
+    XmlDoc.cpp:15368 sets m_isRSSExt from the outlink extension)."""
+    path = url.split("://", 1)[-1]
+    path = path.split("?", 1)[0]
+    return path.lower().endswith(".rss")
+
+
+def url_is_permalink_format(url: str) -> bool:
+    """URL-format permalink guess (Linkdb.cpp:4734-4886 with links=NULL:
+    the format core + the main path-exclusion substrings; the long tail
+    of link-graph checks needs page content the request side lacks)."""
+    if url_is_rssext(url) or url_is_root(url):
+        return False
+    rest = url.split("://", 1)[-1]
+    host, _, pathq = rest.partition("/")
+    pathq = "/" + pathq
+    if host.startswith("feedproxy.") or rest.startswith("feeds.feedburner.com/~"):
+        return True
+    path, _, query = pathq.partition("?")
+    # ?m=<yyyymm> blog archive pages are never permalinks (Linkdb.cpp:4901)
+    if query.startswith("m=") and query[2:8].isdigit():
+        n = int(query[2:8])
+        if 199000 < n < 205000:
+            return False
+    hasp = query.startswith("p=") and len(query) > 2 and query[2].isdigit()
+    # >=3 consecutive digits anywhere in path+query (Linkdb.cpp:4810-4854)
+    dcount = 0
+    found3 = False
+    for ch in pathq:
+        if ch.isdigit():
+            dcount += 1
+            if dcount >= 3:
+                found3 = True
+                break
+        else:
+            dcount = 0
+    # >=2 hyphens/underscores within a single path component
+    hcount = 0
+    found2 = False
+    for ch in path:
+        if ch == "/":
+            hcount = 0
+        elif ch in "-_":
+            hcount += 1
+            if hcount >= 2:
+                found2 = True
+                break
+    if not hasp and not found3 and not found2:
+        return False
+    low = path.lower()
+    if any(s in low for s in _PERM_EXCLUDE):
+        return False
+    lowq = rest.lower()
+    for cgi in ("cat=", "tag=", "tags="):
+        i = lowq.find(cgi)
+        if i > 0 and not lowq[i - 1].isalpha():
+            return False
+    return True
+
+
 def candidate_columns(n: int) -> dict:
     """Zeroed candidate-field template for ``FilterProgram.assign``."""
     return {
@@ -289,6 +506,22 @@ def candidate_columns(n: int) -> dict:
         "is_www": np.zeros(n, dtype=bool),
         "tld": np.empty(n, dtype=object),
         "lang": np.empty(n, dtype=object),
+        # extended predicate inputs
+        "is_root": np.zeros(n, dtype=bool),
+        "is_pingserver": np.zeros(n, dtype=bool),  # Url.cpp:2548: always false
+        "fake_first_ip": np.zeros(n, dtype=bool),
+        "is_rssext": np.zeros(n, dtype=bool),
+        "is_permalink_format": np.zeros(n, dtype=bool),
+        "is_rss": np.zeros(n, dtype=bool),
+        "is_permalink": np.zeros(n, dtype=bool),
+        "has_authority_inlink": np.zeros(n, dtype=bool),
+        "authority_inlink_valid": np.zeros(n, dtype=bool),
+        "sitepages": np.zeros(n, dtype=np.int64),
+        "domainpages": np.zeros(n, dtype=np.int64),
+        "spiderwaited": np.zeros(n, dtype=np.int64),
+        "age": np.full(n, -1, dtype=np.int64),
+        "percentchangedperday": np.zeros(n, dtype=np.float64),
+        "site_tag": np.full(n, "", dtype=object),
     }
 
 
@@ -304,13 +537,16 @@ class SiteList:
     Line forms (subset): ``example.com`` (domain match, any subdomain/path);
     ``http(s)://host/path`` (URL prefix match); ``contains:substr``;
     a leading ``-`` negates (an URL matching a negative line is NOT in the
-    site list even if a positive line matches).
+    site list even if a positive line matches).  A ``tag:NAME `` prefix
+    attaches a tag to the pattern (reference 'tag:shallow site:x' form,
+    Spider.cpp:1771-1831); the matching pattern's tag feeds the filter
+    DSL's ``tag:NAME`` predicate.
     """
 
     def __init__(self, lines):
-        self.domains: set[str] = set()
-        self.prefixes: list[str] = []
-        self.contains: list[str] = []
+        self.domains: dict[str, str] = {}  # domain -> tag ("" if none)
+        self.prefixes: list[tuple[str, str]] = []  # (prefix, tag)
+        self.contains: list[tuple[str, str]] = []
         self.neg_domains: set[str] = set()
         self.neg_prefixes: list[str] = []
         self.neg_contains: list[str] = []
@@ -321,31 +557,56 @@ class SiteList:
             neg = line.startswith("-")
             if neg:
                 line = line[1:].strip()
+            tag = ""
+            if line.startswith("tag:"):
+                tag, _, line = line[4:].partition(" ")
+                line = line.strip()
             if line.startswith("contains:"):
-                (self.neg_contains if neg else self.contains).append(line[9:])
+                if neg:
+                    self.neg_contains.append(line[9:])
+                else:
+                    self.contains.append((line[9:], tag))
             elif line.startswith(("http://", "https://")):
-                (self.neg_prefixes if neg else self.prefixes).append(line)
+                if neg:
+                    self.neg_prefixes.append(line)
+                else:
+                    self.prefixes.append((line, tag))
             else:
-                (self.neg_domains if neg else self.domains).add(line.lower())
+                if neg:
+                    self.neg_domains.add(line.lower())
+                else:
+                    self.domains.setdefault(line.lower(), tag)
+
+    def _match_tag(self, url: str, domain: str):
+        """(matched, tag) for the first matching positive pattern."""
+        if domain in self.neg_domains:
+            return False, ""
+        if any(s in url for s in self.neg_contains):
+            return False, ""
+        if any(url.startswith(p) for p in self.neg_prefixes):
+            return False, ""
+        t = self.domains.get(domain)
+        if t is not None:
+            return True, t
+        for s, tag in self.contains:
+            if s in url:
+                return True, tag
+        for p, tag in self.prefixes:
+            if url.startswith(p):
+                return True, tag
+        return False, ""
 
     def matches(self, url: str, domain: str) -> bool:
-        if domain in self.neg_domains:
-            return False
-        if any(s in url for s in self.neg_contains):
-            return False
-        if any(url.startswith(p) for p in self.neg_prefixes):
-            return False
-        if domain in self.domains:
-            return True
-        if any(s in url for s in self.contains):
-            return True
-        if any(url.startswith(p) for p in self.prefixes):
-            return True
-        return False
+        return self._match_tag(url, domain)[0]
 
     def matches_batch(self, urls, domains) -> np.ndarray:
         return np.fromiter(
             (self.matches(u, d) for u, d in zip(urls, domains)),
             dtype=bool,
             count=len(urls),
+        )
+
+    def tags_batch(self, urls, domains) -> np.ndarray:
+        return np.array(
+            [self._match_tag(u, d)[1] for u, d in zip(urls, domains)], dtype=object
         )

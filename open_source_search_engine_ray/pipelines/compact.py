@@ -67,6 +67,7 @@ def _row_to_rec(r: dict):
             err_count=int(r["err_count"]),
             http_status=int(r["http_status"]),
             crawl_delay_ms=int(r["crawl_delay_ms"]),
+            is_indexed=int(r["err_code"]) == 0,  # mirrors complete()
         )
     return Req(
         url=r["url"],
@@ -202,6 +203,9 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
             prev = core.replies.get(rep.uh48)
             if prev is None or rep.spidered_time >= prev.spidered_time:
                 core.replies[rep.uh48] = rep
+        # quota pre-count pass over the applied log (the reference's
+        # m_countingPagesIndexed scan before winner selection)
+        core.recount_quotas()
         t = core.schedule(now_ms)
         return t.to_pandas()
 

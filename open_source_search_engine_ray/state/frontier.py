@@ -49,7 +49,13 @@ from ..functions.schedule import (
     select_winners,
     spider_times_ms_vec,
 )
-from ..functions.urlfilter import FilterProgram, SiteList, default_web_rules
+from ..functions.urlfilter import (
+    FilterProgram,
+    SiteList,
+    url_is_permalink_format,
+    url_is_root,
+    url_is_rssext,
+)
 from ..functions.urlnorm import get_domain
 from .urlseen import UrlSeen
 
@@ -94,8 +100,16 @@ class CrawlConfig:
     # lifecycle: RAM tree bounded, disk authoritative)
     log_flush_rows: int = 32768
 
+    # URL-filter profile when no explicit rules are given: "web",
+    # "privacore" or "shallow" (Collectiondb.cpp:1396, 1639, 2248)
+    profile: str = "web"
+
     def filter_rules(self):
-        return list(self.rules) if self.rules else default_web_rules()
+        if self.rules:
+            return list(self.rules)
+        from ..functions.urlfilter import PROFILES
+
+        return PROFILES[self.profile]()
 
 
 LAUNCH_SCHEMA = pa.schema(
@@ -172,6 +186,11 @@ class FrontierCore:
         self.last_download: dict[int, int] = {}  # ip -> last download end ms
         self.cd_table: dict[int, int] = {}  # dom_hash32 -> crawl delay ms
         self.urlseen = UrlSeen(cfg.bloom_bits, exact=cfg.exact_urlseen)
+        # quota tables: indexed-page counts per site/domain hash, one vote
+        # per uh48 (reference SpiderColl.cpp:2754-2798 m_localTable)
+        self.quota_site: dict[int, int] = {}
+        self.quota_dom: dict[int, int] = {}
+        self.quota_counted: set = set()
         # durable logs: launch log + URL-seen report stream to parquet
         # segments under log_dir so actor RSS is bounded by the HOT
         # scheduling state, not crawl history (reference: spiderdb on
@@ -281,6 +300,12 @@ class FrontierCore:
                 "is_reindex": bool(cols["is_reindex"][i]),
                 "fake_first_ip": bool(cols["fake_first_ip"][i]),
                 "discovery_time": int(added[i]),
+                # URL-derived predicate flags, computed once at admission
+                # (the reference sets them on the SpiderRequest at build
+                # time, XmlDoc.cpp:15360-15400)
+                "is_root": url_is_root(url),
+                "is_rssext": url_is_rssext(url),
+                "is_permalink_format": url_is_permalink_format(url),
             }
             srh = int(salts[i] ^ np.uint64(req["site_hash32"] & 0xFFFFFFFF))
             newly_seen = u48 not in self.requests
@@ -337,8 +362,9 @@ class FrontierCore:
                 out.append(req)
         return out
 
-    def _eval_filters(self, reqs: list):
+    def _eval_filters(self, reqs: list, now_ms: int = 0):
         n = len(reqs)
+        now_s = now_ms // 1000
         c = {
             "uh48": np.fromiter((r["uh48"] for r in reqs), np.uint64, n),
             "url": np.array([r["url"] for r in reqs], dtype=object),
@@ -357,6 +383,7 @@ class FrontierCore:
             (min(len(self.inlinks.get(r["uh48"], ())), 255) for r in reqs), np.int32, n
         )
         had, st, ec, code, http, lang, idx = [], [], [], [], [], [], []
+        rss, perm, pub, pcpd = [], [], [], []
         for r in reqs:
             rep = self.replies.get(r["uh48"])
             had.append(rep is not None)
@@ -366,6 +393,10 @@ class FrontierCore:
             http.append(rep.http_status if rep else 0)
             lang.append(rep.lang if rep else "en")
             idx.append(bool(rep.is_indexed) if rep else False)
+            rss.append(bool(rep.is_rss) if rep else False)
+            perm.append(bool(rep.is_permalink) if rep else False)
+            pub.append(rep.pub_date if rep else 0)
+            pcpd.append(rep.percent_changed_per_day if rep else 0.0)
         c["had_reply"] = np.array(had)
         c["spidered_time"] = np.array(st, dtype=np.int64)
         c["err_count"] = np.array(ec, dtype=np.int32)
@@ -373,7 +404,37 @@ class FrontierCore:
         c["http_status"] = np.array(http, dtype=np.int32)
         c["lang"] = np.array(lang, dtype=object)
         c["is_indexed"] = np.array(idx)
-        c["url_age"] = np.zeros(n, dtype=np.int64)
+        c["is_rss"] = np.array(rss)
+        c["is_permalink"] = np.array(perm)
+        c["percentchangedperday"] = np.array(pcpd, dtype=np.float64)
+        pub_a = np.array(pub, dtype=np.int64)
+        # pubdate age; <=0 pubdate is invalid and never matches
+        c["age"] = np.where(pub_a > 0, now_s - pub_a, -1)
+        # request age from discovery time (Spider.cpp:3252-3259: falls
+        # back to added_time when discovery is unset)
+        disc = np.fromiter(
+            (r["discovery_time"] or r["added_time"] for r in reqs), np.int64, n
+        )
+        c["url_age"] = now_s - disc
+        c["spiderwaited"] = np.where(c["had_reply"], now_s - c["spidered_time"], 0)
+        # request-side URL-derived flags (stored at admission)
+        c["is_root"] = np.fromiter((r.get("is_root", False) for r in reqs), bool, n)
+        c["is_rssext"] = np.fromiter((r.get("is_rssext", False) for r in reqs), bool, n)
+        c["is_permalink_format"] = np.fromiter(
+            (r.get("is_permalink_format", False) for r in reqs), bool, n
+        )
+        c["is_pingserver"] = np.zeros(n, dtype=bool)  # Url.cpp:2548
+        c["fake_first_ip"] = np.fromiter((r["fake_first_ip"] for r in reqs), bool, n)
+        c["has_authority_inlink"] = np.zeros(n, dtype=bool)
+        c["authority_inlink_valid"] = np.zeros(n, dtype=bool)
+        # quota lookups (SpiderColl.cpp quotaTable by siteHash32/domHash32)
+        c["sitepages"] = np.fromiter(
+            (self.quota_site.get(r["site_hash32"], 0) for r in reqs), np.int64, n
+        )
+        c["domainpages"] = np.fromiter(
+            (self.quota_dom.get(r["dom_hash32"], 0) for r in reqs), np.int64, n
+        )
+        c["site_tag"] = self.site_list.tags_batch(c["url"], np.array(doms, dtype=object))
         return c, self.prog.assign(c)
 
     def _delete(self, u48: int):
@@ -412,7 +473,7 @@ class FrontierCore:
             spans.append((ip, len(gather), len(gather) + len(reqs)))
             gather.extend(reqs)
         if gather:
-            c, ufn_all = self._eval_filters(gather)
+            c, ufn_all = self._eval_filters(gather, now_ms)
             nall = len(gather)
             kmax = np.maximum(ufn_all, 0)
             last_arr = np.fromiter(
@@ -454,6 +515,10 @@ class FrontierCore:
             cands = []
             for i, r in enumerate(reqs):
                 if r["uh48"] in killed or ufn[i] < 0:
+                    continue
+                # maxSpidersPerRule == 0 blocks launching entirely
+                # (populateDoledbFromWaitingTree skips such rules)
+                if self.prog.max_spiders_per_rule[ufn[i]] <= 0:
                     continue
                 stime = int(stimes[i])
                 if stime <= now_ms:
@@ -585,19 +650,42 @@ class FrontierCore:
                 self.cd_table[int(cols["dom_hash32"][i])] = cd
             err = int(cols["err_code"][i])
             prev = self.replies.get(u48)
+            slot = self.requests.get(u48)
+            any_req = next(iter(slot.values())) if slot else None
+            url = any_req["url"] if any_req else ""
+            # percentChangedPerDay (Spider.h:790): content-hash delta
+            # between the last two spiderings / elapsed days
+            pcpd = 0.0
+            st_new = int(cols["spidered_time"][i])
+            ch_new = int(cols["content_hash32"][i])
+            if prev is not None and prev.is_indexed and err == 0 and st_new > prev.spidered_time:
+                days = (st_new - prev.spidered_time) / 86400.0
+                changed = 0.0 if ch_new == prev.content_hash32 else 100.0
+                pcpd = changed / days if days > 0 else 0.0
             rep = Rep(
                 uh48=u48,
-                spidered_time=int(cols["spidered_time"][i]),
+                spidered_time=st_new,
                 err_code=err,
                 err_count=(prev.err_count + 1 if prev else 1) if err else 0,
                 http_status=int(cols["http_status"][i]),
                 crawl_delay_ms=cd,
-                content_hash32=int(cols["content_hash32"][i]),
+                content_hash32=ch_new,
                 lang=cols["lang"][i],
                 is_indexed=err == 0,
+                is_rss=url_is_rssext(url) if url else False,
+                is_permalink=url_is_permalink_format(url) if url else False,
+                percent_changed_per_day=pcpd,
             )
             if prev is None or rep.spidered_time >= prev.spidered_time:
                 self.replies[u48] = rep
+            # quota counting: one vote per uh48 once indexed
+            # (SpiderColl.cpp:2776-2798)
+            if rep.is_indexed and any_req is not None and u48 not in self.quota_counted:
+                self.quota_counted.add(u48)
+                s32 = any_req["site_hash32"]
+                d32 = any_req["dom_hash32"]
+                self.quota_site[s32] = self.quota_site.get(s32, 0) + 1
+                self.quota_dom[d32] = self.quota_dom.get(d32, 0) + 1
             if left <= 0:
                 self.waiting[ip] = 0  # re-arm asap; next scan gates by spider time
             self.metrics["completed"] += 1
@@ -680,6 +768,24 @@ class FrontierCore:
             for u, r in self.replies.items()
         )
 
+    def recount_quotas(self) -> None:
+        """Rebuild the quota tables from the reply log — the cold-start
+        counting pass (SpiderColl.cpp:2754-2798 with
+        m_countingPagesIndexed set)."""
+        self.quota_site = {}
+        self.quota_dom = {}
+        self.quota_counted = set()
+        for u48, rep in self.replies.items():
+            slot = self.requests.get(u48)
+            if not rep.is_indexed or not slot:
+                continue
+            any_req = next(iter(slot.values()))
+            self.quota_counted.add(u48)
+            s32 = any_req["site_hash32"]
+            d32 = any_req["dom_hash32"]
+            self.quota_site[s32] = self.quota_site.get(s32, 0) + 1
+            self.quota_dom[d32] = self.quota_dom.get(d32, 0) + 1
+
     def get_metrics(self) -> dict:
         return dict(self.metrics)
 
@@ -705,6 +811,9 @@ class FrontierCore:
             "in_flight_uh48": self.in_flight_uh48,
             "last_download": self.last_download,
             "cd_table": self.cd_table,
+            "quota_site": self.quota_site,
+            "quota_dom": self.quota_dom,
+            "quota_counted": self.quota_counted,
             "urlseen": self.urlseen.state(),
             "applied_tokens": self.applied_tokens,
             "launch_segs": self._launch_segs,
@@ -734,6 +843,9 @@ class FrontierCore:
             "in_flight_uh48",
             "last_download",
             "cd_table",
+            "quota_site",
+            "quota_dom",
+            "quota_counted",
             "applied_tokens",
             "seq",
             "wave",

@@ -161,3 +161,137 @@ def test_negated_numeric_and_conjunction():
 def test_no_match_returns_minus_one():
     prog = FilterProgram([UrlFilterRule("hopcount>=9", 5, 1)])  # no default row
     assert int(prog.assign(cand(hop_count=0))[0]) == -1
+
+
+# -- extended predicates (Spider.cpp:2270-3560) ------------------------------
+
+
+def _one(prog, **kw):
+    i = int(prog.assign(cand(**kw))[0])
+    return prog.rules[i].expression if i >= 0 else None
+
+
+def test_isroot_and_url_flag_helpers():
+    from open_source_search_engine_ray.functions.urlfilter import (
+        url_is_permalink_format,
+        url_is_root,
+        url_is_rssext,
+    )
+
+    assert url_is_root("http://x.test/")
+    assert url_is_root("https://x.test")
+    assert not url_is_root("http://x.test/p1.html")
+    assert url_is_rssext("http://x.test/feed.rss")
+    assert url_is_rssext("http://x.test/feed.rss?x=1")  # query stripped, path ext wins
+    assert not url_is_rssext("http://x.test/page.html")
+    # permalink format guess (Linkdb.cpp:4734-4886)
+    assert url_is_permalink_format("http://b.test/2019/05/my-first-post.html")
+    assert url_is_permalink_format("http://b.test/?p=12345")
+    assert url_is_permalink_format("http://b.test/archive/post_one_here")
+    assert not url_is_permalink_format("http://b.test/")  # root
+    assert not url_is_permalink_format("http://b.test/about.html")  # no digits/hyphens
+    assert not url_is_permalink_format("http://b.test/feed.rss")  # rss
+    assert not url_is_permalink_format("http://b.test/?m=200806")  # archive cgi
+    assert not url_is_permalink_format("http://b.test/tag/some-topic-here/")  # /tag/
+    prog = FilterProgram([
+        UrlFilterRule("isroot", 70, 1),
+        UrlFilterRule("ispermalinkformat", 60, 1),
+        UrlFilterRule("isrssext", 50, 1),
+        UrlFilterRule("default", 1, 1),
+    ])
+    assert _one(prog, is_root=True) == "isroot"
+    assert _one(prog, is_permalink_format=True) == "ispermalinkformat"
+    assert _one(prog, is_rssext=True) == "isrssext"
+    assert _one(prog) == "default"
+
+
+def test_reply_gated_booleans_and_authority():
+    prog = FilterProgram([
+        UrlFilterRule("isrss", 80, 1),
+        UrlFilterRule("ispermalink", 70, 1),
+        UrlFilterRule("hasauthorityinlink", 60, 1),
+        UrlFilterRule("default", 1, 1),
+    ])
+    # without a reply the reply-gated predicates never match
+    assert _one(prog, is_rss=True, is_permalink=True) == "default"
+    assert _one(prog, is_rss=True, had_reply=True, spidered_time=5) == "isrss"
+    assert _one(prog, is_permalink=True, had_reply=True, spidered_time=5) == "ispermalink"
+    # authority info is never valid → the rule never matches (both forms)
+    assert _one(prog, has_authority_inlink=True) == "default"
+    prog2 = FilterProgram([
+        UrlFilterRule("!hasauthorityinlink", 60, 1), UrlFilterRule("default", 1, 1)
+    ])
+    assert _one(prog2) == "default"
+
+
+def test_isdocidbased_ispingserver_isfakeip():
+    prog = FilterProgram([
+        UrlFilterRule("isdocidbased", 80, 1),
+        UrlFilterRule("ispingserver", 70, 1),
+        UrlFilterRule("isfakeip", 60, 1),
+        UrlFilterRule("default", 1, 1),
+    ])
+    assert _one(prog, is_reindex=True) == "isdocidbased"
+    assert _one(prog, fake_first_ip=True) == "isfakeip"
+    # Url::isPingServer is hardwired false (Url.cpp:2548)
+    assert _one(prog, is_pingserver=False) == "default"
+
+
+def test_numeric_quota_and_age_predicates():
+    prog = FilterProgram([
+        UrlFilterRule("sitepages>=10", 80, 1),
+        UrlFilterRule("domainpages>=20", 70, 1),
+        UrlFilterRule("spiderwaited>=100", 60, 1),
+        UrlFilterRule("urlage>=1000", 50, 1),
+        UrlFilterRule("percentchangedperday>=25.0", 40, 1),
+        UrlFilterRule("age>=5", 30, 1),
+        UrlFilterRule("default", 1, 1),
+    ])
+    assert _one(prog, sitepages=11) == "sitepages>=10"
+    assert _one(prog, domainpages=25) == "domainpages>=20"
+    # spiderwaited requires a reply
+    assert _one(prog, spiderwaited=500) == "default"
+    assert _one(prog, spiderwaited=500, had_reply=True, spidered_time=5) == "spiderwaited>=100"
+    assert _one(prog, url_age=2000) == "urlage>=1000"
+    assert (
+        _one(prog, percentchangedperday=50.0, had_reply=True, spidered_time=5)
+        == "percentchangedperday>=25.0"
+    )
+    # age: pubdate<=0 never matches (the reference ships pubdate=0)
+    assert _one(prog, age=-1) == "default"
+    assert _one(prog, age=10) == "age>=5"
+
+
+def test_tag_predicate_and_tagged_sitelist():
+    sl = SiteList(["tag:shallow h0001.test", "h0002.test"])
+    urls = np.array(["http://www.h0001.test/", "http://www.h0002.test/"], dtype=object)
+    doms = np.array(["h0001.test", "h0002.test"], dtype=object)
+    assert sl.matches_batch(urls, doms).tolist() == [True, True]
+    assert sl.tags_batch(urls, doms).tolist() == ["shallow", ""]
+    prog = FilterProgram([
+        UrlFilterRule("tag:shallow && hopcount>=2", 30, 40, 0),
+        UrlFilterRule("default", 1, 1),
+    ])
+    assert _one(prog, site_tag="shallow", hop_count=3) == "tag:shallow && hopcount>=2"
+    assert _one(prog, site_tag="", hop_count=3) == "default"
+    assert _one(prog, site_tag="shallow", hop_count=1) == "default"
+
+
+def test_profiles_compile_and_differ():
+    from open_source_search_engine_ray.functions.urlfilter import (
+        privacore_rules,
+        shallow_rules,
+    )
+
+    priv = FilterProgram(privacore_rules())
+    shal = FilterProgram(shallow_rules())
+    # privacore: blacklisted tld force-deletes
+    i = int(priv.assign(cand(url="http://x.cn/", tld="cn"))[0])
+    assert priv.force_delete[i] and not priv.harvest_links[i]
+    # privacore: non-whitelisted lang force-deletes
+    i = int(priv.assign(cand(lang="zh", had_reply=True, spidered_time=5))[0])
+    assert priv.force_delete[i]
+    # shallow: tagged site at hopcount 2 maps to the max_spiders=0 row
+    i = int(shal.assign(cand(site_tag="shallow", hop_count=2))[0])
+    assert shal.rules[i].expression == "tag:shallow && hopcount>=2"
+    assert shal.max_spiders_per_rule[i] == 0
