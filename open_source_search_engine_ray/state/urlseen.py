@@ -75,15 +75,147 @@ class BloomFilter:
         return bf
 
 
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan et al. 2014, "Cuckoo Filter:
+    Practically Better Than Bloom"): 16-bit fingerprints in 4-slot
+    buckets, alternate bucket i2 = i1 XOR hash(fp).  Unlike the Bloom
+    layer it supports DELETE, which gives the URL-seen set force-delete
+    + re-add semantics (north_rule: "partitioned bloom+cuckoo filters").
+    Eviction is deterministic (kick slot = kicks % slots) so engine and
+    oracle stay bit-identical.  ~2*slots/2^16 ≈ 1.2e-4 fpp; load factor
+    ~0.95 before the bounded stash absorbs overflow."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int = 1 << 16, slots: int = 4):
+        assert n_buckets & (n_buckets - 1) == 0
+        self.n_buckets = n_buckets
+        self.slots = slots
+        self.table = np.zeros((n_buckets, slots), dtype=np.uint16)
+        self.stash: set = set()  # overflow fingerprint keys (i1, fp)
+        self._mask = np.uint64(n_buckets - 1)
+        self.n_items = 0
+
+    def _fps(self, keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * _MIX
+        h ^= h >> np.uint64(29)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        return fp
+
+    def _i1s(self, keys: np.ndarray) -> np.ndarray:
+        h = (keys.astype(np.uint64) ^ (keys.astype(np.uint64) >> np.uint64(33))) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+        return ((h >> np.uint64(17)) & self._mask).astype(np.int64)
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (
+            (i.astype(np.uint64) ^ (fp.astype(np.uint64) * _MIX)) & self._mask
+        ).astype(np.int64)
+
+    def _canon(self, i: int, fp: int) -> tuple:
+        """Canonical stash key: a fingerprint's two buckets are mutually
+        derivable (i2 = i1 ^ h(fp)), so min() makes lookup bucket-free."""
+        j = int(self._alt(np.array([i]), np.array([fp], dtype=np.uint16))[0])
+        return (min(i, j), fp)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fps(keys)
+        i1 = self._i1s(keys)
+        i2 = self._alt(i1, fp)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1) | (
+            self.table[i2] == fp[:, None]
+        ).any(axis=1)
+        if self.stash:
+            for j in np.nonzero(~hit)[0]:
+                if self._canon(int(i1[j]), int(fp[j])) in self.stash:
+                    hit[j] = True
+        return hit
+
+    def _insert_at(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        empty = np.nonzero(row == 0)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def add_key(self, key: int) -> None:
+        k = np.array([key], dtype=np.uint64)
+        fp = int(self._fps(k)[0])
+        i1 = int(self._i1s(k)[0])
+        i2 = int(self._alt(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        self.n_items += 1
+        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+            return
+        # deterministic cuckoo kick chain
+        i, cur = i1, fp
+        for kick in range(self.MAX_KICKS):
+            slot = kick % self.slots
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
+            if self._insert_at(i, cur):
+                return
+        # table effectively full: bounded stash keeps zero false negatives
+        self.stash.add(self._canon(i, cur))
+
+    def delete_key(self, key: int) -> bool:
+        k = np.array([key], dtype=np.uint64)
+        fp = int(self._fps(k)[0])
+        i1 = int(self._i1s(k)[0])
+        i2 = int(self._alt(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                self.n_items -= 1
+                return True
+        ck = self._canon(i1, fp)
+        if ck in self.stash:
+            self.stash.discard(ck)
+            self.n_items -= 1
+            return True
+        return False
+
+    def state(self) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "slots": self.slots,
+            "table": self.table.copy(),
+            "stash": set(self.stash),
+            "n_items": self.n_items,
+        }
+
+    @classmethod
+    def from_state(cls, st: dict) -> "CuckooFilter":
+        cf = cls(st["n_buckets"], st["slots"])
+        cf.table = st["table"].copy()
+        cf.stash = set(st["stash"])
+        cf.n_items = st["n_items"]
+        return cf
+
+
 class UrlSeen:
-    """Bloom + (optional) exact set.  ``exact=True`` gives zero false
-    positives for correctness runs; ``exact=False`` is the 10^10-URL
-    scale path where a Bloom FP drops a URL with probability fpp
-    (mirroring the reference's acceptance of uh48 collisions)."""
+    """Bloom (first level) + exact set OR cuckoo (authoritative level).
+
+    ``exact=True`` gives zero false positives for correctness runs;
+    ``exact=False`` is the 10^10-URL scale path: the Bloom segment
+    answers "definitely new" cheaply and the cuckoo segment is the
+    authoritative probable-set — deletable, so force-deleted URLs can
+    be re-admitted (the Bloom alone could never forget them).  A cuckoo
+    FP drops a URL with p≈1.2e-4, mirroring the reference's acceptance
+    of uh48 collisions (Spider.h:729-732)."""
 
     def __init__(self, n_bits: int = 1 << 20, exact: bool = True):
         self.bloom = BloomFilter(n_bits)
         self.exact: set | None = set() if exact else None
+        self.cuckoo: CuckooFilter | None = (
+            None if exact else CuckooFilter(max(1 << 10, n_bits >> 5))
+        )
 
     def test_and_add(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
@@ -100,16 +232,48 @@ class UrlSeen:
                 if int(uniq[i]) not in self.exact:
                     new_uniq[i] = True
             self.exact.update(int(k) for k in uniq)
+        elif self.cuckoo is not None:
+            # cuckoo is authoritative where the bloom says "maybe seen"
+            # (this is where a deleted key resurrects as new)
+            maybe = np.nonzero(~new_uniq)[0]
+            if len(maybe):
+                hit = self.cuckoo.contains_batch(uniq[maybe])
+                new_uniq[maybe[~hit]] = True
+            for k in uniq[new_uniq]:
+                self.cuckoo.add_key(int(k))
         new_mask = np.zeros(len(keys), dtype=bool)
         new_mask[first_idx[new_uniq]] = True
         return new_mask
 
+    def delete(self, keys: np.ndarray) -> int:
+        """Force-delete keys from the seen set so they can be re-added
+        (reference: PageReindex force delete + respider).  Supported in
+        exact mode (set discard) and cuckoo mode (filter delete); the
+        Bloom layer keeps its bits — the authoritative level overrides."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        n = 0
+        if self.exact is not None:
+            for k in keys:
+                if int(k) in self.exact:
+                    self.exact.discard(int(k))
+                    n += 1
+        elif self.cuckoo is not None:
+            for k in keys:
+                n += bool(self.cuckoo.delete_key(int(k)))
+        return n
+
     def state(self) -> dict:
-        return {"bloom": self.bloom.state(), "exact": self.exact}
+        return {
+            "bloom": self.bloom.state(),
+            "exact": self.exact,
+            "cuckoo": self.cuckoo.state() if self.cuckoo is not None else None,
+        }
 
     @classmethod
     def from_state(cls, st: dict) -> "UrlSeen":
         u = cls.__new__(cls)
         u.bloom = BloomFilter.from_state(st["bloom"])
         u.exact = st["exact"]
+        ck = st.get("cuckoo")
+        u.cuckoo = CuckooFilter.from_state(ck) if ck is not None else None
         return u
