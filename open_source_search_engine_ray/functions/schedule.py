@@ -14,6 +14,19 @@ MAX_WINNER_NODES = 2000  # reference Spider.h:52
 CRAWL_DELAY_CLAMP_MS = 60_000  # reference SpiderColl.cpp:4123-4126
 
 
+def adaptive_max_winners(scanned_bytes: int) -> int:
+    """Winner-tree size by bytes scanned (SpiderColl.cpp:3167-3182):
+    full 2000 only for heavy scans, 400 under 10 MB, 1 for tiny lists.
+    The reference uses this to bound doledb caching; in the wave engine
+    the 1-cap also serializes small IPs, so it is opt-in
+    (CrawlConfig.adaptive_winner_caps)."""
+    if scanned_bytes < 25_000:
+        return 1
+    if scanned_bytes < 10_000_000:
+        return 400
+    return MAX_WINNER_NODES
+
+
 @dataclass
 class Req:
     """One frontier SpiderRequest (reference Spider.h:481-758, columnar

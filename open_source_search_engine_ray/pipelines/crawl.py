@@ -399,11 +399,21 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
     import time as _time
 
     timing = {"schedule": 0.0, "prep": 0.0, "tasks": 0.0}
+    t_start = _time.monotonic()
     while True:
         nxt = min(events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
-        now = max(now, nxt + cfg.wave_window_ms)
+        if cfg.real_clock:
+            # pace against the wall: sleep until the next event is due,
+            # then schedule at the actual elapsed wall ms (politeness
+            # gaps become real delays)
+            wall = int((_time.monotonic() - t_start) * 1000)
+            if nxt > wall:
+                _time.sleep((nxt - wall) / 1000.0)
+            now = max(int((_time.monotonic() - t_start) * 1000), nxt)
+        else:
+            now = max(now, nxt + cfg.wave_window_ms)
         due = [p for p in range(P) if events[p] <= now]
         _t0 = _time.perf_counter()
         rets = ray.get([actors[p].schedule_ipc.remote(now, waves) for p in due])
@@ -592,11 +602,20 @@ def _run_local(web, host_ip, web_cfg, cfg, out_dir):
     # mirror of the distributed protocol: per-partition event tracking,
     # only due partitions scheduled, driver-assigned wave numbers
     events = {p: c.next_event_ms() for p, c in enumerate(cores)}
+    import time as _time
+
+    t_start = _time.monotonic()
     while True:
         nxt = min(events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
-        now = max(now, nxt + cfg.wave_window_ms)
+        if cfg.real_clock:
+            wall = int((_time.monotonic() - t_start) * 1000)
+            if nxt > wall:
+                _time.sleep((nxt - wall) / 1000.0)
+            now = max(int((_time.monotonic() - t_start) * 1000), nxt)
+        else:
+            now = max(now, nxt + cfg.wave_window_ms)
         due = [p for p in range(P) if events[p] <= now]
         tables = []
         for p in due:

@@ -43,8 +43,10 @@ import pyarrow.parquet as pq
 
 from ..functions import gbhash
 from ..functions.schedule import (
+    MAX_WINNER_NODES,
     Rep,
     Req,
+    adaptive_max_winners,
     get_spider_time_ms,
     select_winners,
     spider_times_ms_vec,
@@ -99,6 +101,15 @@ class CrawlConfig:
     # parquet segment (the Rdb dump threshold analogue, Rdb.cpp dump
     # lifecycle: RAM tree bounded, disk authoritative)
     log_flush_rows: int = 32768
+    # adaptive winner-tree caps by bytes scanned (2000/400/1,
+    # SpiderColl.cpp:3167-3182).  Opt-in: the 1-cap for tiny scans also
+    # serializes launches per wave in this engine (the reference
+    # re-populates doledb continuously, we launch per wave)
+    adaptive_winner_caps: bool = False
+    # real-clock mode: the driver paces waves against the wall clock
+    # (now = elapsed wall ms) instead of jumping the virtual clock —
+    # politeness gaps become real delays
+    real_clock: bool = False
 
     # URL-filter profile when no explicit rules are given: "web",
     # "privacore" or "shallow" (Collectiondb.cpp:1396, 1639, 2248)
@@ -544,6 +555,11 @@ class FrontierCore:
                     t[0]["site_hash32"],
                 )
             )
+            if self.cfg.adaptive_winner_caps:
+                scanned = sum(len(r["url"]) + 64 for r in reqs)
+                max_w = adaptive_max_winners(scanned)
+            else:
+                max_w = MAX_WINNER_NODES
             winners = select_winners(
                 (
                     (
@@ -568,6 +584,7 @@ class FrontierCore:
                     for (r, k, stime) in cands
                 ),
                 now_ms=now_ms,
+                max_winners=max_w,
             )
             ufn_by_uh = {r["uh48"]: k for (r, k, _) in cands}
             # per-IP launch budget (SpiderLoop.cpp:943-1072): a known
