@@ -264,6 +264,60 @@ def _q_span_parse(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "n_spans", "roundtrip_ok"])
 
 
+def _q_charset_roundtrip(sf_dir: str):
+    """Charset→UTF-8 over document texts re-encoded in rotating
+    charsets with meta declarations (XmlDoc.cpp:10311-10678 subset);
+    verifies decoded text equality row by row."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.functions.charset import decode_batch
+
+    charsets = ["utf-8", "iso-8859-1", "shift_jis", "utf-16-le"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        import codecs
+
+        bodies, cts, css = [], [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            cs = charsets[int(i) % len(charsets)]
+            prefix = f'<meta charset="{cs}">' if cs != "utf-16-le" else ""
+            raw = (prefix + t).encode(cs, errors="replace")
+            if cs == "utf-16-le":
+                raw = codecs.BOM_UTF16_LE + raw
+            bodies.append(raw)
+            cts.append("text/html")
+            css.append(cs)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text": df["text"], "body": bodies,
+             "content_type": cts, "charset_true": css}
+        )
+
+    import pyarrow as pa
+
+    def decode(t: pa.Table) -> pa.Table:
+        out = decode_batch(t)
+        texts = out["text"].to_pylist()
+        html = out["html"].to_pylist()
+        ok = [h.split(">", 1)[-1] == x if "<meta" in h else h == x
+              for h, x in zip(html, texts)]
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "charset_true": out["charset_true"],
+                "charset_detected": out["charset"],
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    out = (
+        ds.map_batches(encode, batch_format="pandas")
+        .map_batches(decode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -356,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": T.embedding_near_dup,
         "lang_id": T.lang_id_pred,
         "doc_fingerprints": T.doc_fingerprints,
+        "adult_flags": T.adult_flags,
+        "charset_roundtrip": _q_charset_roundtrip,
         "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
         # crawl operators (reference-semantics; rows-only here, oracle
@@ -375,10 +431,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from open_source_search_engine_ray.functions.adultcheck import DIRTY_NEEDLES
     from open_source_search_engine_ray.functions.textstats import STOPWORDS
 
     _STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+    _NEEDLE_VALUES = ",".join(f"('{needle}', {w})" for needle, w in DIRTY_NEEDLES)
     return {
+        "adult_flags": f"""
+            SELECT doc_id, points, points >= 2 AS is_adult FROM (
+                SELECT d.doc_id,
+                       CAST(SUM(CASE WHEN instr(lower(d.text), n.needle) > 0
+                                THEN n.w ELSE 0 END) AS BIGINT) AS points
+                FROM documents d
+                CROSS JOIN (VALUES {_NEEDLE_VALUES}) AS n(needle, w)
+                GROUP BY d.doc_id
+            )
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -492,6 +492,27 @@ def assign_docids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def adult_flags(sf_dir: str) -> pd.DataFrame:
+    """Adult-content scoring over documents (AdultCheck.cpp semantics:
+    presence-weighted needles, threshold 2)."""
+    from ..functions.adultcheck import ADULT_THRESHOLD, adult_points_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        pts = adult_points_batch(df["text"].tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "points": pts,
+                "is_adult": pts >= ADULT_THRESHOLD,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
