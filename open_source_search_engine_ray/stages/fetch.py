@@ -114,8 +114,15 @@ class FetchStage:
         allowed = np.zeros(n, dtype=bool)
         htmls: list[str] = []
         hosts = batch["host"].to_pylist()
+        # in-flight identical-request dedup (Msg13.cpp:596-616
+        # wait-in-line): concurrent identical URLs in one batch share a
+        # single download; each row still gets its own timing/reply
+        inflight: dict[str, object] = {}
         for i, u in enumerate(urls):
-            fr = fetch_url(self.web, u)
+            fr = inflight.get(u)
+            if fr is None:
+                fr = fetch_url(self.web, u)
+                inflight[u] = fr
             pol = self._policy(hosts[i], fr.robots_txt)
             cd[i] = pol.crawl_delay_ms
             ok = pol.is_allowed(get_path_with_query(u))
