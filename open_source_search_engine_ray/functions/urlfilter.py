@@ -57,6 +57,7 @@ ERR_TCP_TIMEOUT = 2
 ERR_HTTP_404 = 3
 ERR_HTTP_500 = 4
 ERR_ROBOTS_DENIED = 5
+ERR_SIMPLIFIED_REDIR = 6  # reference EDOCSIMPLIFIEDREDIR (permanent)
 TMP_ERROR_CODES = frozenset({ERR_DNS, ERR_TCP_TIMEOUT})
 
 

@@ -84,6 +84,9 @@ class WebConfig:
     dup_link_frac: float = 0.15
     cross_host_frac: float = 0.45
     span_scale: int = 1  # multiply spans per page (bench: realistic page sizes)
+    # fraction of links that point at a 301 alias (/r{p}.html → canonical
+    # page); 0.0 keeps the RNG stream — and thus every fixture — identical
+    redirect_frac: float = 0.0
 
     def scaled(self) -> "WebConfig":
         return self
@@ -142,6 +145,18 @@ class SynthWeb:
         if page_i % 9 == 4:
             return f"http://{host}/private/p{page_i}.html"
         return f"http://{host}/p{page_i}.html"
+
+    def redirect_target(self, url: str) -> str | None:
+        """Canonical target when ``url`` is a /r{p}.html 301 alias of an
+        existing page, else None."""
+        m = re.match(r"https?://([^/:]+)(?::\d+)?/r(\d+)\.html$", url)
+        if not m:
+            return None
+        i = self._host_idx.get(m.group(1))
+        p = int(m.group(2))
+        if i is None or p >= self.page_counts[i]:
+            return None
+        return self.page_url(i, p)
 
     def url_to_page(self, url: str):
         """Inverse of page_url for canonical URLs → (host_i, page_i) or None."""
@@ -204,6 +219,10 @@ class SynthWeb:
             tgt_host = host_i
         tgt_page = int(r.integers(0, self.page_counts[tgt_host]))
         url = self.page_url(tgt_host, tgt_page)
+        # 301-alias spelling (guarded draw: redirect_frac == 0 must not
+        # consume RNG state, keeping default fixtures bit-identical)
+        if cfg.redirect_frac > 0 and r.random() < cfg.redirect_frac:
+            return f"http://{self.hosts[tgt_host]}/r{tgt_page}.html"
         roll = r.random()
         if roll >= cfg.dup_link_frac:
             return url
@@ -381,6 +400,7 @@ class FetchResult:
     html: str
     latency_ms: int
     robots_txt: str  # body served for this host ("" = none)
+    location: str = ""  # 30x Location header
 
 
 def fetch_url(web: SynthWeb, url: str) -> FetchResult:
@@ -405,6 +425,11 @@ def fetch_url(web: SynthWeb, url: str) -> FetchResult:
         return FetchResult(url, 0, uf.ERR_TCP_TIMEOUT, "", lat, robots)
     if fail == "http_500":
         return FetchResult(url, 500, uf.ERR_HTTP_500, "", lat, robots)
+    target = web.redirect_target(url)
+    if target is not None:
+        # simplified 301: not indexed; the target is emitted as the
+        # page's single outlink (XmlDoc.cpp:3989-3993, 5657)
+        return FetchResult(url, 301, uf.ERR_SIMPLIFIED_REDIR, "", lat, robots, location=target)
     if loc is None:
         return FetchResult(url, 404, uf.ERR_HTTP_404, "", lat, robots)
     spans = web.page_spans(*loc)

@@ -53,6 +53,7 @@ FETCH_OUT_FIELDS = [
     ("download_end_ms", pa.int64()),
     ("robots_allowed", pa.bool_()),
     ("html", pa.string()),
+    ("redir_location", pa.string()),
 ]
 
 # unified parse-output schema; rec ∈ {doc, reply, request}
@@ -113,6 +114,7 @@ class FetchStage:
         end = np.zeros(n, dtype=np.int64)
         allowed = np.zeros(n, dtype=bool)
         htmls: list[str] = []
+        locs: list[str] = []
         hosts = batch["host"].to_pylist()
         # in-flight identical-request dedup (Msg13.cpp:596-616
         # wait-in-line): concurrent identical URLs in one batch share a
@@ -134,11 +136,13 @@ class FetchStage:
                 status[i] = 0
                 end[i] = launch_ms[i] + fr.latency_ms  # robots fetch cost
                 htmls.append("")
+                locs.append("")
                 continue
             status[i] = fr.http_status
             err[i] = fr.err_code
             end[i] = launch_ms[i] + fr.latency_ms
             htmls.append(fr.html)
+            locs.append(fr.location)
         out = batch
         for name, arr in [
             ("http_status", pa.array(status)),
@@ -147,6 +151,7 @@ class FetchStage:
             ("download_end_ms", pa.array(end)),
             ("robots_allowed", pa.array(allowed)),
             ("html", pa.array(htmls, pa.string())),
+            ("redir_location", pa.array(locs, pa.string())),
         ]:
             out = out.append_column(name, arr)
         return out
@@ -243,6 +248,23 @@ class ParseStage:
         # outlinks: gather (raw link, source row) over all harvested pages
         link_raw: list[str] = []
         link_src: list[int] = []
+        # hop override per gathered link: -1 = parent hop + 1 (normal
+        # outlink); a redirect target keeps the PARENT's hop count
+        # (XmlDoc.cpp:15377-15380 "keep hopcount the same for redirs")
+        link_hop: list[int] = []
+        redirs = (
+            batch["redir_location"].to_pylist()
+            if "redir_location" in batch.column_names
+            else [""] * n
+        )
+        for i in range(n):
+            if redirs[i]:
+                # EDOCSIMPLIFIEDREDIR: the target is the page's single
+                # "link" regardless of the harvest flag
+                # (XmlDoc.cpp:3989-3993 pretend-it-is-a-link)
+                link_raw.append(redirs[i])
+                link_src.append(int(i))
+                link_hop.append(int(hop[i]))
         for di, i in enumerate(ok_idx):
             if not harvest[i]:
                 continue
@@ -250,16 +272,19 @@ class ParseStage:
                 if s["kind"] == "link":
                     link_raw.append(s["media_ref"])
                     link_src.append(int(i))
+                    link_hop.append(-1)
         # canonicalize + outlink filter (same order make_request_columns
         # applied per page), then per-page uh48 dedup
         # (XmlDoc.cpp:15263-15272)
         kept_urls: list[str] = []
         kept_src: list[int] = []
-        for u, s in zip(link_raw, link_src):
+        kept_hop: list[int] = []
+        for u, s, h in zip(link_raw, link_src, link_hop):
             c = canonicalize(u, base=urls[s])
             if c is not None and outlink_ok(c, urls[s]):
                 kept_urls.append(c)
                 kept_src.append(s)
+                kept_hop.append(h)
         uh_l = gbhash.uh48_batch(kept_urls)
         sel: list[int] = []
         cur_src = -1
@@ -275,6 +300,7 @@ class ParseStage:
             sel.append(j)
         r_urls = [kept_urls[j] for j in sel]
         r_src = np.fromiter((kept_src[j] for j in sel), np.int64, len(sel))
+        r_hop_ovr = np.fromiter((kept_hop[j] for j in sel), np.int64, len(sel))
         hosts = [get_host(u) for u in r_urls]
         domains = [get_domain(h) for h in hosts]
         ips = np.fromiter(
@@ -291,7 +317,9 @@ class ParseStage:
             host=hosts,
             dom_hash32=gbhash.hash32_batch(domains).astype(np.int64),
             site_hash32=gbhash.hash32_batch(hosts).astype(np.int64),
-            hop_count=(hop[r_src] + 1).astype(np.int32),
+            hop_count=np.where(r_hop_ovr >= 0, r_hop_ovr, hop[r_src] + 1).astype(
+                np.int32
+            ),
             added_time=end_s[r_src],
             parent_ip=first_ip[r_src],
             is_injecting=np.zeros(nz, bool),
