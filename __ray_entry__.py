@@ -318,6 +318,36 @@ def _q_charset_roundtrip(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_multicoll(sf_dir: str):
+    """Round-robin multi-collection crawl (SpiderLoop collection
+    rotation): three policies over one web; combined launch log."""
+    import tempfile
+
+    from open_source_search_engine_ray.pipelines.crawl import run_multi_crawl
+    from open_source_search_engine_ray.sources.synthweb import SynthWeb
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+    web_cfg = _crawl_web()
+    full = tuple(SynthWeb(web_cfg).site_list())
+    colls = {
+        "web": CrawlConfig(num_partitions=2, horizon_ms=400_000, site_list=full),
+        "shallow": CrawlConfig(
+            num_partitions=2,
+            horizon_ms=400_000,
+            site_list=tuple("tag:shallow " + d for d in full),
+            profile="shallow",
+        ),
+    }
+    res = run_multi_crawl(web_cfg, colls, tempfile.mkdtemp(prefix="crawl_mc_"), engine="ray")
+    frames = []
+    for name, r in res.items():
+        df = r.launch_log.to_pandas()
+        df.insert(0, "coll", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["coll", "wave", "part_id", "seq"]).reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -427,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_parse": _q_span_parse,
         "crawl_compact_frontier": _q_compact_frontier,
         "crawl_cold_start_schedule": _q_cold_start,
+        "crawl_multicoll": _q_multicoll,
     }
 
 

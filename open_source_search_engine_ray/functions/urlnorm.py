@@ -18,10 +18,14 @@ code.  The ported subset (each item has a reference anchor):
   PHPSESSID, jsessionid (incl. path ``;jsessionid=...``), osCsid, XTCsid,
   CFID, CFTOKEN, sid, session_id, sessionid                (Url.cpp:347-790)
 - empty query (bare ``?``) dropped; path defaults to ``/``
+- non-ASCII path/query chars percent-encoded as uppercase UTF-8 %XX
+  (Url.cpp:967-990 → urlEncode, fctypes.cpp:932-980; existing %xx
+  escapes pass through untouched, as in the reference)
 
-Not ported (documented divergence, fixtures avoid them): percent-encoding
-normalization beyond Python's urllib, ``..`` path folding subtleties for
-malformed paths, the versioned ``stripParametersv122`` variants.
+Not ported (documented divergence, fixtures avoid them): ``..`` path
+folding subtleties for malformed paths, the versioned
+``stripParametersv122`` variants, mid-URL whitespace truncation (we
+strip whitespace instead of truncating at it).
 """
 
 from __future__ import annotations
@@ -126,10 +130,24 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
     if not path.startswith("/"):
         path = "/" + path
     query = _strip_session_params(parts.query)
+    path = _encode_non_ascii(path)
+    query = _encode_non_ascii(query)
     out = urlunsplit((scheme, netloc, path, query, ""))
     if len(out) > MAX_URL_LEN:
         return None  # reference MAX_URL_LEN (Url.h:9)
     return out
+
+
+def _encode_non_ascii(s: str) -> str:
+    """Percent-encode non-ASCII chars as uppercase UTF-8 %XX
+    (urlEncode, fctypes.cpp:932-980); ASCII — including existing %xx
+    escapes — passes through unchanged."""
+    if s.isascii():
+        return s
+    return "".join(
+        c if ord(c) < 128 else "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+        for c in s
+    )
 
 
 def _strip_session_params(query: str) -> str:

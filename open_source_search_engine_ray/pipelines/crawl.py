@@ -347,87 +347,116 @@ def _get_wave_task(ray):
     return _WAVE_TASK
 
 
-def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
-    import ray
-    import ray.data as rd
+class _RayCrawlCtx:
+    """One collection's distributed crawl, step-able wave by wave so
+    ``run_multi_crawl`` can round-robin collections (reference:
+    SpiderLoop's getNextCollToSpider rotation).  ``_run_ray`` drives a
+    single instance to completion — behavior is identical to the
+    previous monolithic loop."""
 
-    _wave_task = _get_wave_task(ray)
-    FrontierActor = ray.remote(num_cpus=0.25)(FrontierCore)
-    P = cfg.num_partitions
-    manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
-    resumed = False
-    ck_wave = 0
-    if resume and os.path.exists(manifest_path):
-        RestoredActor = ray.remote(num_cpus=0.25)(_RestoredFrontier)
-        blobs = []
-        for p in range(P):
-            with open(_ckpt_path(out_dir, p), "rb") as f:
-                blobs.append(f.read())
-        actors = [RestoredActor.remote(blob) for blob in blobs]
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        ck_wave = manifest["wave"]
-        # restore the driver's virtual clock too — `now` may be ahead of
-        # the minimum next-event (now = max(now, nxt+window)), and an
-        # exact resume must not re-launch at earlier virtual times
-        ck_now = manifest.get("now", 0)
-        # drop doc partitions written after the checkpoint (partial waves);
-        # completed waves 1..ck_wave carry doc wave fields 0..ck_wave-1
-        import shutil
+    def __init__(self, web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
+        import ray
+        import time as _time
 
-        docs_root = os.path.join(out_dir, "docs")
-        if os.path.isdir(docs_root):
-            for d in os.listdir(docs_root):
-                if d.startswith("wave=") and int(d.split("=")[1]) >= ck_wave:
-                    shutil.rmtree(os.path.join(docs_root, d))
-        resumed = True
-    else:
-        log_dir = os.path.join(out_dir, "frontier")
-        actors = [FrontierActor.remote(p, cfg, log_dir) for p in range(P)]
-    if not resumed:
-        import pickle
+        self.ray = ray
+        self.web_cfg = web_cfg
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.checkpoint_every = checkpoint_every
+        self._wave_task = _get_wave_task(ray)
+        FrontierActor = ray.remote(num_cpus=0.25)(FrontierCore)
+        P = self.P = cfg.num_partitions
+        manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
+        resumed = False
+        ck_wave = 0
+        ck_now = 0
+        if resume and os.path.exists(manifest_path):
+            RestoredActor = ray.remote(num_cpus=0.25)(_RestoredFrontier)
+            blobs = []
+            for p in range(P):
+                with open(_ckpt_path(out_dir, p), "rb") as f:
+                    blobs.append(f.read())
+            self.actors = [RestoredActor.remote(blob) for blob in blobs]
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            ck_wave = manifest["wave"]
+            # restore the driver's virtual clock too — `now` may be ahead
+            # of the minimum next-event (now = max(now, nxt+window)), and
+            # an exact resume must not re-launch at earlier virtual times
+            ck_now = manifest.get("now", 0)
+            # drop doc partitions written after the checkpoint (partial
+            # waves); completed waves carry doc wave fields < ck_wave
+            import shutil
 
-        cols = seed_columns(web, host_ip)
-        ray.get(
-            [
-                actors[p].add_requests_blob.remote(pickle.dumps(sub))
-                for p, sub in split_by_partition(cols, P)
-            ]
-        )
-    now = ck_now if resumed else 0
-    waves = ck_wave if resumed else 0
-    stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
-    # driver-tracked next-event per partition: refreshed from each
-    # schedule_ipc response and from the wave tasks' touched-partition
-    # reports — no separate poll round per wave
-    events = {p: ev for p, ev in enumerate(ray.get([a.next_event_ms.remote() for a in actors]))}
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    import time as _time
+            docs_root = os.path.join(out_dir, "docs")
+            if os.path.isdir(docs_root):
+                for d in os.listdir(docs_root):
+                    if d.startswith("wave=") and int(d.split("=")[1]) >= ck_wave:
+                        shutil.rmtree(os.path.join(docs_root, d))
+            resumed = True
+        else:
+            log_dir = os.path.join(out_dir, "frontier")
+            self.actors = [FrontierActor.remote(p, cfg, log_dir) for p in range(P)]
+        if not resumed:
+            import pickle
 
-    timing = {"schedule": 0.0, "prep": 0.0, "tasks": 0.0}
-    t_start = _time.monotonic()
-    while True:
-        nxt = min(events.values())
+            cols = seed_columns(web, host_ip)
+            ray.get(
+                [
+                    self.actors[p].add_requests_blob.remote(pickle.dumps(sub))
+                    for p, sub in split_by_partition(cols, P)
+                ]
+            )
+        self.now = ck_now if resumed else 0
+        self.waves = ck_wave if resumed else 0
+        self.stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
+        # driver-tracked next-event per partition: refreshed from each
+        # schedule_ipc response and from the wave tasks' touched-partition
+        # reports — no separate poll round per wave
+        self.events = {
+            p: ev
+            for p, ev in enumerate(
+                ray.get([a.next_event_ms.remote() for a in self.actors])
+            )
+        }
+        self.ncpu = int(ray.cluster_resources().get("CPU", 8))
+        self.timing = {"schedule": 0.0, "prep": 0.0, "tasks": 0.0}
+        self.t_start = _time.monotonic()
+        self.done = False
+
+    def step(self) -> bool:
+        """Run one wave; False once the frontier is drained (or the
+        stop_after_waves test hook fired)."""
+        import time as _time
+
+        import ray.data as rd
+
+        if self.done:
+            return False
+        ray, cfg, P = self.ray, self.cfg, self.P
+        nxt = min(self.events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
-            break
+            self.done = True
+            return False
         if cfg.real_clock:
             # pace against the wall: sleep until the next event is due,
             # then schedule at the actual elapsed wall ms (politeness
             # gaps become real delays)
-            wall = int((_time.monotonic() - t_start) * 1000)
+            wall = int((_time.monotonic() - self.t_start) * 1000)
             if nxt > wall:
                 _time.sleep((nxt - wall) / 1000.0)
-            now = max(int((_time.monotonic() - t_start) * 1000), nxt)
+            self.now = max(int((_time.monotonic() - self.t_start) * 1000), nxt)
         else:
-            now = max(now, nxt + cfg.wave_window_ms)
-        due = [p for p in range(P) if events[p] <= now]
+            self.now = max(self.now, nxt + cfg.wave_window_ms)
+        now = self.now
+        due = [p for p in range(P) if self.events[p] <= now]
         _t0 = _time.perf_counter()
-        rets = ray.get([actors[p].schedule_ipc.remote(now, waves) for p in due])
-        timing["schedule"] += _time.perf_counter() - _t0
-        waves += 1
+        rets = ray.get([self.actors[p].schedule_ipc.remote(now, self.waves) for p in due])
+        self.timing["schedule"] += _time.perf_counter() - _t0
+        self.waves += 1
         tables = []
         for p, (blob, ev) in zip(due, rets):
-            events[p] = ev
+            self.events[p] = ev
             t = ipc_to_table(blob)
             if t.num_rows:
                 tables.append(t)
@@ -440,76 +469,91 @@ def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
             merged = pa.concat_tables(tables)
             # ~4 chunks per CPU: fine-grained enough that stragglers don't
             # serialize the wave; CHUNK_MIN_ROWS floor measured above
-            chunk = max(CHUNK_MIN_ROWS, -(-total_rows // (4 * ncpu)))
+            chunk = max(CHUNK_MIN_ROWS, -(-total_rows // (4 * self.ncpu)))
             futs = [
-                _wave_task.remote(
+                self._wave_task.remote(
                     table_to_ipc(merged.slice(off, chunk)),
-                    web_cfg,
+                    self.web_cfg,
                     cfg.user_agent,
                     P,
-                    actors,
-                    out_dir,
+                    self.actors,
+                    self.out_dir,
                 )
                 for off in range(0, total_rows, chunk)
             ]
-            timing["prep"] += _time.perf_counter() - _t0
+            self.timing["prep"] += _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
             for r in ray.get(futs):
                 for p in r["touched"]:
-                    events[p] = 0  # completions/adds re-arm asap
-            timing["tasks"] += _time.perf_counter() - _t0
+                    self.events[p] = 0  # completions/adds re-arm asap
+            self.timing["tasks"] += _time.perf_counter() - _t0
         elif tables:
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
                 ds = ds.map_batches(
                     FetchStage,
-                    fn_constructor_args=(web_cfg, cfg.user_agent),
+                    fn_constructor_args=(self.web_cfg, cfg.user_agent),
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=1,
-                    **stage_kw,
+                    **self.stage_kw,
                 )
                 ds = ds.map_batches(
                     ParseStage,
-                    fn_constructor_args=(web_cfg, P),
+                    fn_constructor_args=(self.web_cfg, P),
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=1,
-                    **stage_kw,
+                    **self.stage_kw,
                 )
             else:
                 ds = ds.map_batches(
                     fetch_batch,
-                    fn_kwargs={"web_cfg": web_cfg, "user_agent": cfg.user_agent},
-                    **stage_kw,
+                    fn_kwargs={"web_cfg": self.web_cfg, "user_agent": cfg.user_agent},
+                    **self.stage_kw,
                 )
                 ds = ds.map_batches(
                     parse_batch,
-                    fn_kwargs={"web_cfg": web_cfg, "num_partitions": P},
-                    **stage_kw,
+                    fn_kwargs={"web_cfg": self.web_cfg, "num_partitions": P},
+                    **self.stage_kw,
                 )
-            ds = ds.map_batches(_RouteBack(actors, out_dir), **stage_kw)
+            ds = ds.map_batches(_RouteBack(self.actors, self.out_dir), **self.stage_kw)
             # consume (small counts table) — this is the wave barrier
             ds.take_all()
             # Dataset path: refresh all events (touched parts unknown here)
-            events = {
+            self.events = {
                 p: ev
                 for p, ev in enumerate(
-                    ray.get([a.next_event_ms.remote() for a in actors])
+                    ray.get([a.next_event_ms.remote() for a in self.actors])
                 )
             }
-        if checkpoint_every and waves % checkpoint_every == 0:
-            _checkpoint_all(ray, actors, out_dir, waves, now)
-        if cfg.stop_after_waves and waves >= cfg.stop_after_waves:
-            break  # simulated kill (test hook for resume)
-    if os.environ.get("GRAFT_TIMING"):
-        print(f"[crawl timing] waves={waves} " + " ".join(f"{k}={v:.2f}s" for k, v in timing.items()))
-    if checkpoint_every:
-        # final checkpoint: lets `inject` add URLs to the finished crawl
-        # and `crawl --resume` continue it
-        _checkpoint_all(ray, actors, out_dir, waves, now)
-    data = ray.get([a.finalize.remote() for a in actors])
-    for a in actors:
-        ray.kill(a)
-    return _merge_results(data, out_dir, waves)
+        if self.checkpoint_every and self.waves % self.checkpoint_every == 0:
+            _checkpoint_all(ray, self.actors, self.out_dir, self.waves, now)
+        if cfg.stop_after_waves and self.waves >= cfg.stop_after_waves:
+            self.done = True  # simulated kill (test hook for resume)
+            return False
+        return True
+
+    def finalize(self) -> CrawlResult:
+        ray = self.ray
+        if os.environ.get("GRAFT_TIMING"):
+            print(
+                f"[crawl timing] waves={self.waves} "
+                + " ".join(f"{k}={v:.2f}s" for k, v in self.timing.items())
+            )
+        if self.checkpoint_every:
+            # final checkpoint: lets `inject` add URLs to the finished
+            # crawl and `crawl --resume` continue it
+            _checkpoint_all(ray, self.actors, self.out_dir, self.waves, self.now)
+        data = ray.get([a.finalize.remote() for a in self.actors])
+        for a in self.actors:
+            ray.kill(a)
+        return _merge_results(data, self.out_dir, self.waves)
+
+
+def _run_ray(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume):
+    ctx = _RayCrawlCtx(web, host_ip, web_cfg, cfg, out_dir, checkpoint_every, resume)
+    while ctx.step():
+        pass
+    return ctx.finalize()
 
 
 class _RestoredFrontier(FrontierCore):
@@ -594,52 +638,123 @@ FrontierCore.apply_blob = _apply_blob
 # ---------------------------------------------------------------------------
 
 
-def _run_local(web, host_ip, web_cfg, cfg, out_dir):
-    P = cfg.num_partitions
-    log_dir = os.path.join(out_dir, "frontier")
-    cores = [FrontierCore(p, cfg, log_dir) for p in range(P)]
-    cols = seed_columns(web, host_ip)
-    for p, sub in split_by_partition(cols, P):
-        cores[p].add_requests(sub)
-    fetcher = FetchStage(web_cfg, cfg.user_agent)
-    parser = ParseStage(web_cfg, P)
-    now = 0
-    waves = 0
-    # mirror of the distributed protocol: per-partition event tracking,
-    # only due partitions scheduled, driver-assigned wave numbers
-    events = {p: c.next_event_ms() for p, c in enumerate(cores)}
-    import time as _time
+class _LocalCrawlCtx:
+    """Sequential-oracle twin of _RayCrawlCtx (same wave protocol, no
+    Ray) — also step-able for multi-collection rotation."""
 
-    t_start = _time.monotonic()
-    while True:
-        nxt = min(events.values())
+    def __init__(self, web, host_ip, web_cfg, cfg, out_dir):
+        import time as _time
+
+        self.cfg = cfg
+        self.out_dir = out_dir
+        P = self.P = cfg.num_partitions
+        log_dir = os.path.join(out_dir, "frontier")
+        self.cores = [FrontierCore(p, cfg, log_dir) for p in range(P)]
+        cols = seed_columns(web, host_ip)
+        for p, sub in split_by_partition(cols, P):
+            self.cores[p].add_requests(sub)
+        self.fetcher = FetchStage(web_cfg, cfg.user_agent)
+        self.parser = ParseStage(web_cfg, P)
+        self.now = 0
+        self.waves = 0
+        # mirror of the distributed protocol: per-partition event
+        # tracking, only due partitions scheduled, driver wave numbers
+        self.events = {p: c.next_event_ms() for p, c in enumerate(self.cores)}
+        self.t_start = _time.monotonic()
+        self.done = False
+
+    def step(self) -> bool:
+        import time as _time
+
+        if self.done:
+            return False
+        cfg, P = self.cfg, self.P
+        nxt = min(self.events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
-            break
+            self.done = True
+            return False
         if cfg.real_clock:
-            wall = int((_time.monotonic() - t_start) * 1000)
+            wall = int((_time.monotonic() - self.t_start) * 1000)
             if nxt > wall:
                 _time.sleep((nxt - wall) / 1000.0)
-            now = max(int((_time.monotonic() - t_start) * 1000), nxt)
+            self.now = max(int((_time.monotonic() - self.t_start) * 1000), nxt)
         else:
-            now = max(now, nxt + cfg.wave_window_ms)
-        due = [p for p in range(P) if events[p] <= now]
+            self.now = max(self.now, nxt + cfg.wave_window_ms)
+        now = self.now
+        due = [p for p in range(P) if self.events[p] <= now]
         tables = []
         for p in due:
-            t = cores[p].schedule(now, waves)
-            events[p] = cores[p].next_event_ms()
+            t = self.cores[p].schedule(now, self.waves)
+            self.events[p] = self.cores[p].next_event_ms()
             if t.num_rows:
                 tables.append(t)
-        waves += 1
+        self.waves += 1
         for t in tables:
-            recs = parser(fetcher(t))
+            recs = self.parser(self.fetcher(t))
             docs, reqs, reps = _split_records(recs)
             if docs.num_rows:
-                _write_doc_table(docs, out_dir, str(docs["wave"][0].as_py()))
+                _write_doc_table(docs, self.out_dir, str(docs["wave"][0].as_py()))
             for p, sub in _group_parts(reqs):
-                cores[p].add_requests(_table_to_cols(sub, REQUEST_COLS))
-                events[p] = 0
+                self.cores[p].add_requests(_table_to_cols(sub, REQUEST_COLS))
+                self.events[p] = 0
             for p, sub in _group_parts(reps):
-                cores[p].complete(_table_to_cols(sub, REPLY_COLS))
-                events[p] = 0
-    data = [c.finalize() for c in cores]
-    return _merge_results(data, out_dir, waves)
+                self.cores[p].complete(_table_to_cols(sub, REPLY_COLS))
+                self.events[p] = 0
+        return True
+
+    def finalize(self) -> CrawlResult:
+        data = [c.finalize() for c in self.cores]
+        return _merge_results(data, self.out_dir, self.waves)
+
+
+def _run_local(web, host_ip, web_cfg, cfg, out_dir):
+    ctx = _LocalCrawlCtx(web, host_ip, web_cfg, cfg, out_dir)
+    while ctx.step():
+        pass
+    return ctx.finalize()
+
+
+# ---------------------------------------------------------------------------
+# multi-collection rotation
+# ---------------------------------------------------------------------------
+
+
+def run_multi_crawl(
+    web_cfg: WebConfig,
+    colls: dict,
+    out_dir: str,
+    engine: str = "ray",
+) -> dict:
+    """Round-robin crawl over collections (reference: SpiderLoop's
+    collection rotation, getNextCollToSpider — each active collection
+    gets one spider round per rotation).  ``colls`` maps collection
+    name → CrawlConfig; each collection owns isolated frontier state,
+    filters/sitelist, and output under ``out_dir/coll=<name>``.
+    Because collections share nothing but the fetch fan-out, the
+    interleaved results are identical to standalone runs per
+    collection (tests/test_multicoll.py pins this)."""
+    import shutil
+
+    web = SynthWeb(web_cfg)
+    host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
+    ctxs = {}
+    for name, cfg in colls.items():
+        sub = os.path.join(out_dir, f"coll={name}")
+        os.makedirs(sub, exist_ok=True)
+        for s in ("docs", "checkpoints", "frontier"):
+            shutil.rmtree(os.path.join(sub, s), ignore_errors=True)
+        if not cfg.site_list:
+            from dataclasses import replace
+
+            cfg = replace(cfg, site_list=tuple(web.site_list()))
+        if engine == "ray":
+            ctxs[name] = _RayCrawlCtx(web, host_ip, web_cfg, cfg, sub, 0, False)
+        else:
+            ctxs[name] = _LocalCrawlCtx(web, host_ip, web_cfg, cfg, sub)
+    active = True
+    while active:
+        active = False
+        for ctx in ctxs.values():  # fixed rotation order
+            if ctx.step():
+                active = True
+    return {name: ctx.finalize() for name, ctx in ctxs.items()}

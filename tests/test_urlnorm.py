@@ -78,3 +78,17 @@ def test_outlink_filter():
     assert not outlink_ok("http://ab/", src)  # host too short
     assert not outlink_ok("http://bad.xxx/", src)  # tld blacklist
     assert not outlink_ok(src, src)  # self link
+
+
+def test_percent_encoding_of_non_ascii():
+    from open_source_search_engine_ray.functions.urlnorm import canonicalize
+
+    # non-ASCII path chars become uppercase UTF-8 %XX (urlEncode,
+    # fctypes.cpp:932-980)
+    assert canonicalize("http://x.test/café.html") == "http://x.test/caf%C3%A9.html"
+    assert canonicalize("http://x.test/p?q=über") == "http://x.test/p?q=%C3%BCber"
+    # existing escapes pass through untouched (no case folding, no decode)
+    assert canonicalize("http://x.test/a%2fb%3F.html") == "http://x.test/a%2fb%3F.html"
+    # IDNA host + unicode path together
+    out = canonicalize("http://münchen.test/straße")
+    assert out == "http://xn--mnchen-3ya.test/stra%C3%9Fe"
