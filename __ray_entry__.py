@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": T.token_counts,
         "quality_scores": T.quality_scores,
         "ann_topk": T.ann_topk,
+        "ann_topk_ivf": T.ann_topk_ivf,
         "minhash_lsh_dedup": T.minhash_lsh_dedup,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "simhash_dedup": T.simhash_dedup,

@@ -50,25 +50,41 @@ def synth_payload(media_ref: str, kind: str) -> bytes:
     return (h * reps)[:size]
 
 
-def media_table_from_spans(docs: pa.Table) -> pa.Table:
-    """Explode a documents(doc_id, spans) table into the media table
-    (doc_id, media_ref, kind, payload)."""
-    rows = {"doc_id": [], "media_ref": [], "kind": [], "payload": []}
-    for r in docs.to_pylist():
-        for s in r["spans"]:
-            if s["kind"] in ("image", "video"):
-                rows["doc_id"].append(r["doc_id"])
-                rows["media_ref"].append(s["media_ref"])
-                rows["kind"].append(s["kind"])
-                rows["payload"].append(synth_payload(s["media_ref"], s["kind"]))
+def media_batch_from_spans(t: pa.Table) -> pa.Table:
+    """map_batches transform: explode documents(doc_id, spans) rows into
+    media rows (doc_id, media_ref, kind, payload).  The span flatten is
+    columnar (ListArray lengths + struct children); only the payload
+    "fetch" (synth bytes standing in for the media GET) is per-row."""
+    spans = t["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lens = spans.value_lengths().to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    kinds = flat.field("kind")
+    refs = flat.field("media_ref")
+    doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+    keep = np.asarray(
+        pa.compute.is_in(kinds, value_set=pa.array(["image", "video"]))
+    )
+    kept_refs = np.asarray(refs.to_numpy(zero_copy_only=False))[keep]
+    kept_kinds = np.asarray(kinds.to_numpy(zero_copy_only=False))[keep]
     return pa.table(
         {
-            "doc_id": pa.array(rows["doc_id"], pa.string()),
-            "media_ref": pa.array(rows["media_ref"], pa.string()),
-            "kind": pa.array(rows["kind"], pa.string()),
-            "payload": pa.array(rows["payload"], pa.binary()),
+            "doc_id": pa.array(doc_ids[keep], pa.string()),
+            "media_ref": pa.array(kept_refs, pa.string()),
+            "kind": pa.array(kept_kinds, pa.string()),
+            "payload": pa.array(
+                [synth_payload(r, k) for r, k in zip(kept_refs, kept_kinds)],
+                pa.binary(),
+            ),
         }
     )
+
+
+def media_table_from_spans(docs: pa.Table) -> pa.Table:
+    """Driver-side convenience wrapper over media_batch_from_spans
+    (fixtures/tests; the pipeline path runs it inside map_batches)."""
+    return media_batch_from_spans(docs)
 
 
 class MediaDecodeStage:
@@ -151,8 +167,11 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     from ..sources.synthweb import SynthWeb, WebConfig
 
     web = SynthWeb(WebConfig(n_hosts=30, n_hubs=2, hub_pages=12, max_pages=6))
-    media = media_table_from_spans(web.documents_table())
-    ds = rd.from_arrow(media)
+    # distributed explode: documents → media rows inside map_batches
+    # (at 100 TB the docs come from read_parquet over the docs dir)
+    ds = rd.from_arrow(web.documents_table()).map_batches(
+        media_batch_from_spans, batch_format="pyarrow", batch_size=256
+    )
     out = ds.map_batches(
         MediaDecodeStage,
         concurrency=2,

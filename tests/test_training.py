@@ -115,6 +115,19 @@ def test_embedding_near_dup_finds_planted(_ray):
     assert (planted["cosine"] >= 0.95).all()
 
 
+def test_ann_ivf_recall_vs_brute_force(_ray):
+    """IVF at its defaults must recover >=85% of the exact top-10
+    (fixture clusters are broad; see ann_topk_ivf docstring)."""
+    exact = T.ann_topk(SF_DIR)
+    approx = T.ann_topk_ivf(SF_DIR)
+    e = {(q, v) for q, v in zip(exact["query_id"], exact["vec_id"])}
+    a = {(q, v) for q, v in zip(approx["query_id"], approx["vec_id"])}
+    assert len(a & e) / len(e) >= 0.85
+    # deterministic across runs
+    again = T.ann_topk_ivf(SF_DIR)
+    assert approx.equals(again)
+
+
 def test_lang_id_pipeline_runs(_ray):
     # NOTE: the testdata 'lang' labels are synthetic (the text is the same
     # English-ish token soup for every label), so accuracy vs labels is
