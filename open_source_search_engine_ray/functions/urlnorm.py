@@ -209,26 +209,31 @@ def get_extension(url: str) -> str:
     return last.rsplit(".", 1)[-1].lower()
 
 
-def outlink_ok(url: str, source_url: str | None = None) -> bool:
-    """Frontier admission filter for one outlink
-    (reference: XmlDoc.cpp:15275-15311).
-
-    Drops non-http(s), tiny hostnames (<=2 chars), media/script/json
-    extensions, blacklisted TLDs, and self-links.
-    """
+def outlink_check(url: str) -> str | None:
+    """Source-independent part of the outlink admission filter
+    (reference: XmlDoc.cpp:15275-15311): returns the URL's host when it
+    passes, else None.  Drops non-http(s), tiny hostnames (<=2 chars),
+    media/script/json extensions, and blacklisted TLDs.  Pure in ``url``,
+    so callers may cache the result per URL string."""
     if not url.startswith(("http://", "https://")):
-        return False
+        return None
     host = get_host(url)
     if len(host) <= 2:
-        return False
+        return None
     ext = get_extension(url)
     if ext in MEDIA_EXTENSIONS or ext in SCRIPT_EXTENSIONS or ext in JSON_EXTENSIONS:
-        return False
-    if get_tld(url) in TLD_BLACKLIST:
-        return False
+        return None
+    if get_tld(host) in TLD_BLACKLIST:
+        return None
+    return host
+
+
+def outlink_ok(url: str, source_url: str | None = None) -> bool:
+    """Frontier admission filter for one outlink: ``outlink_check`` plus
+    the self-link drop (XmlDoc.cpp:15458)."""
     if source_url is not None and url == source_url:
-        return False  # self-link (XmlDoc.cpp:15458)
-    return True
+        return False
+    return outlink_check(url) is not None
 
 
 def canonicalize_batch(urls, bases=None, add_www: bool = False) -> list:

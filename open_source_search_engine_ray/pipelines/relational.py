@@ -76,6 +76,50 @@ def _partial_group_sum(ds, keys: list, sums: dict, count_col: str | None = None)
     return part.groupby(keys).aggregate(*aggs)
 
 
+def group_sum(
+    ds, keys: list, sums: dict, count_col: str | None = None
+) -> pd.DataFrame:
+    """Distributed group-by-sum that stays fast at HIGH key cardinality.
+
+    Ray Data's built-in ``groupby().aggregate()`` falls into a sort +
+    per-group Python reduce on plain map_batches pipelines (measured
+    ~2-4 ms per GROUP — 9k groups cost ~20-35 s regardless of row
+    count), only switching to vectorized hash aggregation when the plan
+    already contains a hash shuffle (e.g. after ``Dataset.join``).
+    This helper never depends on the planner: vectorized per-block
+    partial aggregation (one partial row per (block, group)), a sort
+    shuffle of the partials, a vectorized per-block combine, and an
+    O(result + block boundaries) driver-side merge for groups that
+    straddle sorted-block edges.  The driver holds only result-sized
+    data — which the caller returns as a DataFrame anyway.
+
+    ``sums``: {out_col: in_col}; optional count column.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        g = df.groupby(keys, as_index=False).agg(**agg)
+        if count_col:
+            cnt = (
+                df.groupby(keys, as_index=False)
+                .size()
+                .rename(columns={"size": count_col})
+            )
+            g = g.merge(cnt, on=keys)
+        return g
+
+    cols = list(sums) + ([count_col] if count_col else [])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[cols].sum()
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
+    comb = part.sort(keys).map_batches(
+        combine, batch_format="pandas", batch_size=64 * 1024
+    )
+    return combine(comb.to_pandas())
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -160,14 +204,67 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
 #: at larger SF this scales with cluster size, not data size per worker
 JOIN_PARTS = 8
 
+#: build sides at or under this MEASURED size are broadcast; larger go
+#: through the distributed hash join.  Spark-AQE-style adaptive switch:
+#: at bench scale the filtered build sides are a few MB and the fixed
+#: HashShuffleAggregator actor startup (~3-5 s) dominates, while at
+#: 100 TB the same code measures a too-big side and shuffles.
+BROADCAST_JOIN_MAX_BYTES = 256 << 20
+
+
+def sized_inner_join(left, right, left_key: str, right_key: str, join_parts: int = JOIN_PARTS):
+    """Inner join with a size-adaptive strategy.
+
+    The build (right) side is computed distributedly and materialized;
+    if its measured size fits ``BROADCAST_JOIN_MAX_BYTES`` it is
+    broadcast (``ray.put`` once, vectorized searchsorted probe per
+    batch — no shuffle), else the materialized side feeds
+    ``Dataset.join`` (distributed hash join).  The decision always uses
+    the *filtered/projected* side, never a raw fact table.
+
+    Contract: right-side keys are unique (dimension or pre-aggregated
+    sides); broadcast-path output columns are the left columns plus the
+    right's non-key columns, so callers must not rely on the right key
+    column appearing.
+    """
+    import ray
+
+    mat = right.materialize()
+    if mat.size_bytes() > BROADCAST_JOIN_MAX_BYTES:
+        return left.join(mat, "inner", join_parts, on=(left_key,), right_on=(right_key,))
+    pdf = mat.to_pandas()
+    keys = pdf[right_key].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    val_cols = [c for c in pdf.columns if c != right_key]
+    side = {"keys": keys[order]}
+    for c in val_cols:
+        side[c] = pdf[c].to_numpy()[order]
+    ref = ray.put(side)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        s = bget(ref)
+        sk = s["keys"]
+        if sk.size == 0:
+            out = df.iloc[0:0]
+            return out.assign(**{c: s[c][:0] for c in val_cols})
+        lk = df[left_key].to_numpy()
+        idx = np.clip(np.searchsorted(sk, lk), 0, sk.size - 1)
+        hit = sk[idx] == lk
+        out = df.loc[hit]
+        taken = idx[hit]
+        return out.assign(**{c: s[c][taken] for c in val_cols})
+
+    return left.map_batches(probe, batch_format="pandas", batch_size=128 * 1024)
+
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: the FACT side (orders⋈lineitem) is a distributed
-    hash join — only the segment-filtered customer KEYS are broadcast
-    (a filtered dimension fits in memory; orders/lineitem never touch
-    the driver)."""
+    """TPC-H Q3 shape: the FACT side (orders⋈lineitem) goes through the
+    size-adaptive join — broadcast only when the filtered orders side
+    MEASURES small, distributed hash join otherwise.  The
+    segment-filtered customer KEYS are always broadcast (a filtered
+    dimension fits in memory; raw orders/lineitem never touch the
+    driver)."""
     import ray
-    from ray.data.aggregate import Sum
 
     cutoff = pd.Timestamp("1997-01-01")
     ckeys = np.sort(
@@ -201,23 +298,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
 
-    j = li.join(orders, "inner", JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = (
-        j.groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+    j = sized_inner_join(li, orders, "l_orderkey", "o_orderkey")
+    agg = group_sum(j, ["l_orderkey"], {"revenue": "revenue"})
     agg["revenue"] = agg["revenue"].round(2)
     agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return agg.reset_index(drop=True)
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5 shape: orders⋈customer and lineitem⋈orders as
-    distributed hash joins; only the tiny nation table is broadcast.
-    No fact table is materialized on the driver."""
+    """TPC-H Q5 shape: orders⋈customer and lineitem⋈orders through the
+    size-adaptive join (measured-small sides broadcast, big sides
+    shuffle); only the tiny nation table is unconditionally broadcast.
+    No raw fact table is ever materialized on the driver."""
     import ray
-    from ray.data.aggregate import Sum
 
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -232,9 +325,9 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         cust_nation, batch_format="pandas"
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    ords = orders.join(
-        cust, "inner", JOIN_PARTS, on=("o_custkey",), right_on=("c_custkey",)
-    ).select_columns(["o_orderkey", "n_name"])
+    ords = sized_inner_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "n_name"]
+    )
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
@@ -245,8 +338,8 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
-    j = li.join(ords, "inner", JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",))
-    out = j.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    j = sized_inner_join(li, ords, "l_orderkey", "o_orderkey")
+    out = group_sum(j, ["n_name"], {"revenue": "revenue"})
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
 
@@ -255,15 +348,12 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
     """orders groupby custkey → top-20 by spend, joined to names
     (broadcast dimension join)."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (
-        ds.groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
-        .to_pandas()
+    agg = group_sum(
+        ds, ["o_custkey"], {"total_spent": "o_totalprice"}, count_col="n_orders"
     )
     agg["total_spent"] = agg["total_spent"].round(2)
     agg = agg.sort_values(["total_spent", "o_custkey"], ascending=[False, True]).head(20)

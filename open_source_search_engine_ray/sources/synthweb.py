@@ -177,72 +177,130 @@ class SynthWeb:
             return None
         return (i, p)
 
+    # span-kind thresholds: text < .45 <= link < .80 <= image < .92 <= video
+    _KIND_EDGES = np.array([0.45, 0.80, 0.92])
+
     def page_spans(self, host_i: int, page_i: int) -> list:
         """The span sequence for a page: list of dicts
-        (kind, text, media_ref, offset) in ascending offset order."""
+        (kind, text, media_ref, offset) in ascending offset order.
+        All RNG draws are batched (one Generator call per column, not per
+        span) — page generation is the simulated network and must not
+        drown the engine cost it exists to exercise."""
         cfg = self.cfg
         r = _rng(cfg.seed, "page", host_i, page_i)
         n_spans = int(r.integers(3, 21)) * cfg.span_scale
+        kinds = np.searchsorted(self._KIND_EDGES, r.random(n_spans), side="right")
+        n_text = int((kinds == 0).sum())
+        wc = r.integers(3, 12, size=n_text)
+        word_idx = r.integers(0, len(_WORDS), size=int(wc.sum()))
+        w_off = np.concatenate(([0], np.cumsum(wc)))
+        n_link = int((kinds == 1).sum())
+        anchor_idx = r.integers(0, len(_WORDS), size=2 * n_link)
+        targets = self._link_targets(r, host_i, n_link)
+        n_img = int((kinds == 2).sum())
+        img_id = r.integers(0, 50, size=n_img)
+        img_alt = r.integers(0, 9, size=n_img)
+        n_vid = int((kinds == 3).sum())
+        vid_id = r.integers(0, 20, size=n_vid)
+        vid_alt = r.integers(0, 9, size=n_vid)
+        host = self.hosts[host_i]
         spans = []
+        it = ic = ii = iv = 0
         for off in range(n_spans):
-            roll = r.random()
-            if roll < 0.45:
-                words = r.choice(_WORDS, size=int(r.integers(3, 12)))
+            k = kinds[off]
+            if k == 0:
+                a, b = w_off[it], w_off[it + 1]
+                it += 1
                 spans.append(
-                    {"kind": "text", "text": " ".join(words), "media_ref": "", "offset": off}
+                    {
+                        "kind": "text",
+                        "text": " ".join(_WORDS[j] for j in word_idx[a:b]),
+                        "media_ref": "",
+                        "offset": off,
+                    }
                 )
-            elif roll < 0.80:
-                target = self._link_target(r, host_i)
-                anchor = " ".join(r.choice(_WORDS, size=2))
+            elif k == 1:
+                txt = _WORDS[anchor_idx[2 * ic]] + " " + _WORDS[anchor_idx[2 * ic + 1]]
                 spans.append(
-                    {"kind": "link", "text": anchor, "media_ref": target, "offset": off}
+                    {"kind": "link", "text": txt, "media_ref": targets[ic], "offset": off}
                 )
-            elif roll < 0.92:
-                ref = f"http://{self.hosts[host_i]}/img{int(r.integers(0, 50))}.jpg"
+                ic += 1
+            elif k == 2:
                 spans.append(
-                    {"kind": "image", "text": "alt " + str(r.integers(0, 9)), "media_ref": ref, "offset": off}
+                    {
+                        "kind": "image",
+                        "text": "alt " + str(int(img_alt[ii])),
+                        "media_ref": f"http://{host}/img{int(img_id[ii])}.jpg",
+                        "offset": off,
+                    }
                 )
+                ii += 1
             else:
-                ref = f"http://{self.hosts[host_i]}/vid{int(r.integers(0, 20))}.mp4"
                 spans.append(
-                    {"kind": "video", "text": "clip " + str(r.integers(0, 9)), "media_ref": ref, "offset": off}
+                    {
+                        "kind": "video",
+                        "text": "clip " + str(int(vid_alt[iv])),
+                        "media_ref": f"http://{host}/vid{int(vid_id[iv])}.mp4",
+                        "offset": off,
+                    }
                 )
+                iv += 1
         return spans
 
-    def _link_target(self, r: np.random.Generator, host_i: int) -> str:
+    def _link_targets(self, r: np.random.Generator, host_i: int, n: int) -> list:
+        """All link targets for one page, with batched draws.  Same
+        distributions as of old: Zipf-ish hub bias for cross-host links,
+        dup_link_frac non-canonical spellings, redirect_frac 301 aliases
+        (guarded draw: redirect_frac == 0 must not consume RNG state, so
+        default fixtures are independent of the redirect feature)."""
         cfg = self.cfg
-        if r.random() < cfg.cross_host_frac:
-            # Zipf-ish hub bias over all hosts
-            z = min(int(r.zipf(1.4)) - 1, cfg.n_hosts - 1)
-            tgt_host = z
-        else:
-            tgt_host = host_i
-        tgt_page = int(r.integers(0, self.page_counts[tgt_host]))
-        url = self.page_url(tgt_host, tgt_page)
-        # 301-alias spelling (guarded draw: redirect_frac == 0 must not
-        # consume RNG state, keeping default fixtures bit-identical)
-        if cfg.redirect_frac > 0 and r.random() < cfg.redirect_frac:
-            return f"http://{self.hosts[tgt_host]}/r{tgt_page}.html"
-        roll = r.random()
-        if roll >= cfg.dup_link_frac:
-            return url
-        # non-canonical spelling of the same target (URL-seen exercise)
-        variant = int(r.integers(0, 5))
-        if variant == 0:
-            return url + ("?PHPSESSID=" + format(int(r.integers(0, 1 << 30)), "x"))
-        if variant == 1:
-            return url + "#frag" + str(int(r.integers(0, 9)))
-        if variant == 2:
-            m = re.match(r"http://([^/]+)(/.*)", url)
-            return "http://" + m.group(1).upper() + m.group(2)
-        if variant == 3:
-            m = re.match(r"http://([^/]+)(/.*)", url)
-            return "http://" + m.group(1) + ":80" + m.group(2)
-        # relative form — only meaningful for same-host targets
-        if tgt_host == host_i:
-            m = re.match(r"http://[^/]+/(.*)", url)
-            return "/" + m.group(1)
-        return url
+        if n == 0:
+            return []
+        cross = r.random(n) < cfg.cross_host_frac
+        tgt_host = np.full(n, host_i, dtype=np.int64)
+        n_cross = int(cross.sum())
+        if n_cross:
+            z = r.zipf(1.4, size=n_cross).astype(np.int64) - 1
+            tgt_host[cross] = np.minimum(z, cfg.n_hosts - 1)
+        # uniform page pick per target host (r.random < 1.0 so the floor
+        # stays strictly below the page count)
+        tgt_page = (r.random(n) * self.page_counts[tgt_host]).astype(np.int64)
+        redir = (
+            r.random(n) < cfg.redirect_frac
+            if cfg.redirect_frac > 0
+            else np.zeros(n, dtype=bool)
+        )
+        dup = r.random(n) < cfg.dup_link_frac
+        variants = r.integers(0, 5, size=n)
+        sess = r.integers(0, 1 << 30, size=n)
+        frag = r.integers(0, 9, size=n)
+        out = []
+        for i in range(n):
+            h, p = int(tgt_host[i]), int(tgt_page[i])
+            if redir[i]:
+                out.append(f"http://{self.hosts[h]}/r{p}.html")
+                continue
+            url = self.page_url(h, p)
+            if not dup[i]:
+                out.append(url)
+                continue
+            # non-canonical spelling of the same target (URL-seen exercise)
+            v = int(variants[i])
+            hostpart, _, path = url[7:].partition("/")
+            if v == 0:
+                out.append(url + "?PHPSESSID=" + format(int(sess[i]), "x"))
+            elif v == 1:
+                out.append(url + "#frag" + str(int(frag[i])))
+            elif v == 2:
+                out.append("http://" + hostpart.upper() + "/" + path)
+            elif v == 3:
+                out.append("http://" + hostpart + ":80/" + path)
+            elif h == host_i:
+                # relative form — only meaningful for same-host targets
+                out.append("/" + path)
+            else:
+                out.append(url)
+        return out
 
     # -- all-pages iterators (fixture materialization) --------------------
     def iter_pages(self):
@@ -311,11 +369,29 @@ _UNESC = {v: k for k, v in _ESC.items()}
 
 
 def _esc(s: str) -> str:
-    return re.sub(r"[&<>\"]", lambda m: _ESC[m.group(0)], s)
+    # & first so later replacements' own '&' survives (equivalent to a
+    # single-pass alternation; fast path: fixture text rarely needs it)
+    if "&" in s or "<" in s or ">" in s or '"' in s:
+        return (
+            s.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+        )
+    return s
 
 
 def _unesc(s: str) -> str:
-    return re.sub(r"&(?:amp|lt|gt|quot);", lambda m: _UNESC[m.group(0)], s)
+    # &amp; last (single-pass-equivalent: the other replacements insert
+    # only non-entity single chars, so they cannot create a new '&amp;')
+    if "&" not in s:
+        return s
+    return (
+        s.replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&amp;", "&")
+    )
 
 
 def render_html(spans, title: str = "") -> str:

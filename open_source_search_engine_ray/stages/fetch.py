@@ -27,9 +27,8 @@ from ..functions.robots import parse_robots
 from ..functions.urlnorm import (
     canonicalize,
     get_domain,
-    get_host,
     get_path_with_query,
-    outlink_ok,
+    outlink_check,
 )
 from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html
 from ..state.frontier import part_of_ip
@@ -190,10 +189,18 @@ class ParseStage:
     hashing, partition routing, and record assembly are batch
     operations (reference outlink batch: XmlDoc.cpp:15007-15520)."""
 
+    #: bound on the per-actor outlink memo (cleared when full); pure
+    #: canonicalize/filter results, so caching cannot change output
+    LINK_CACHE_MAX = 1 << 19
+
     def __init__(self, web_cfg: WebConfig, num_partitions: int):
         self.web = SynthWeb(web_cfg)
         self.host_ip = {h: int(ip) for h, ip in zip(self.web.hosts, self.web.ips)}
         self.P = num_partitions
+        # raw absolute outlink -> (canonical|None, host|None): outlinks
+        # repeat heavily across pages (hub/nav links), and for absolute
+        # URLs canonicalization is base-independent
+        self._link_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -279,12 +286,28 @@ class ParseStage:
         kept_urls: list[str] = []
         kept_src: list[int] = []
         kept_hop: list[int] = []
+        kept_hosts: list[str] = []
+        cache = self._link_cache
         for u, s, h in zip(link_raw, link_src, link_hop):
-            c = canonicalize(u, base=urls[s])
-            if c is not None and outlink_ok(c, urls[s]):
+            if u.startswith(("http://", "https://")):
+                ent = cache.get(u)
+                if ent is None:
+                    c = canonicalize(u)
+                    ent = (c, outlink_check(c) if c is not None else None)
+                    if len(cache) >= self.LINK_CACHE_MAX:
+                        cache.clear()
+                    cache[u] = ent
+                c, host = ent
+            else:
+                c = canonicalize(u, base=urls[s])
+                host = outlink_check(c) if c is not None else None
+            # host is None when the canonical form fails the pure filter;
+            # the self-link drop (XmlDoc.cpp:15458) stays outside the memo
+            if host is not None and c != urls[s]:
                 kept_urls.append(c)
                 kept_src.append(s)
                 kept_hop.append(h)
+                kept_hosts.append(host)
         uh_l = gbhash.uh48_batch(kept_urls)
         sel: list[int] = []
         cur_src = -1
@@ -301,7 +324,7 @@ class ParseStage:
         r_urls = [kept_urls[j] for j in sel]
         r_src = np.fromiter((kept_src[j] for j in sel), np.int64, len(sel))
         r_hop_ovr = np.fromiter((kept_hop[j] for j in sel), np.int64, len(sel))
-        hosts = [get_host(u) for u in r_urls]
+        hosts = [kept_hosts[j] for j in sel]
         domains = [get_domain(h) for h in hosts]
         ips = np.fromiter(
             (resolve_ip(h, self.host_ip) for h in hosts), np.int64, len(hosts)

@@ -137,30 +137,45 @@ class CuckooFilter:
 
     def _insert_at(self, i: int, fp: int) -> bool:
         row = self.table[i]
-        empty = np.nonzero(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            return True
+        for s in range(self.slots):
+            if row[s] == 0:
+                row[s] = fp
+                return True
         return False
 
     def add_key(self, key: int) -> None:
-        k = np.array([key], dtype=np.uint64)
-        fp = int(self._fps(k)[0])
-        i1 = int(self._i1s(k)[0])
-        i2 = int(self._alt(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
-        self.n_items += 1
-        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+        self.add_batch(np.array([key], dtype=np.uint64))
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        """Insert keys in order.  fp/i1/i2 are computed in one vectorized
+        pass (the per-key tiny-ndarray constructions dominated the scalar
+        path); the insertion loop itself is inherently sequential because
+        each placement depends on prior table state."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
             return
-        # deterministic cuckoo kick chain
-        i, cur = i1, fp
-        for kick in range(self.MAX_KICKS):
-            slot = kick % self.slots
-            cur, self.table[i, slot] = int(self.table[i, slot]), cur
-            i = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
-            if self._insert_at(i, cur):
-                return
-        # table effectively full: bounded stash keeps zero false negatives
-        self.stash.add(self._canon(i, cur))
+        fps = self._fps(keys)
+        i1s = self._i1s(keys)
+        i2s = self._alt(i1s, fps)
+        self.n_items += len(keys)
+        for j in range(len(keys)):
+            fp, i1, i2 = int(fps[j]), int(i1s[j]), int(i2s[j])
+            if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+                continue
+            # deterministic cuckoo kick chain
+            i, cur = i1, fp
+            placed = False
+            for kick in range(self.MAX_KICKS):
+                slot = kick % self.slots
+                cur, self.table[i, slot] = int(self.table[i, slot]), cur
+                i = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
+                if self._insert_at(i, cur):
+                    placed = True
+                    break
+            if not placed:
+                # table effectively full: bounded stash keeps zero false
+                # negatives
+                self.stash.add(self._canon(i, cur))
 
     def delete_key(self, key: int) -> bool:
         k = np.array([key], dtype=np.uint64)
@@ -239,8 +254,7 @@ class UrlSeen:
             if len(maybe):
                 hit = self.cuckoo.contains_batch(uniq[maybe])
                 new_uniq[maybe[~hit]] = True
-            for k in uniq[new_uniq]:
-                self.cuckoo.add_key(int(k))
+            self.cuckoo.add_batch(uniq[new_uniq])
         new_mask = np.zeros(len(keys), dtype=bool)
         new_mask[first_idx[new_uniq]] = True
         return new_mask

@@ -12,7 +12,7 @@ from open_source_search_engine_ray.state.frontier import CrawlConfig
 WEB = WebConfig(n_hosts=24, n_hubs=2, hub_pages=10, max_pages=5)
 # tiny flush threshold → many segments exercised even at test scale
 CFG = CrawlConfig(
-    num_partitions=3, horizon_ms=500_000, fetch_concurrency=2, log_flush_rows=16
+    num_partitions=3, horizon_ms=500_000, fetch_concurrency=2, log_flush_rows=8
 )
 
 
@@ -25,10 +25,22 @@ def test_segment_spill_matches_unspilled(tmp_path, ray_session):
     assert spilled.launch_log.to_pylist() == plain.launch_log.to_pylist()
     assert spilled.url_seen == plain.url_seen
     assert spilled.fetch_log == plain.fetch_log
-    # segments actually spilled mid-run (more than the single final flush)
-    part0 = os.path.join(str(tmp_path / "a"), "frontier", "part-00000")
-    segs = [f for f in os.listdir(part0) if f.startswith("launch-")]
-    assert len(segs) >= 2
+    # segments actually spilled mid-run (more than the single final
+    # flush) on at least one partition — which partition crosses the
+    # threshold depends on the fixture graph
+    most = max(
+        len(
+            [
+                f
+                for f in os.listdir(
+                    os.path.join(str(tmp_path / "a"), "frontier", f"part-{p:05d}")
+                )
+                if f.startswith("launch-")
+            ]
+        )
+        for p in range(CFG.num_partitions)
+    )
+    assert most >= 2
 
 
 def test_kill_resume_bloom_only_with_spill(tmp_path, ray_session):
