@@ -194,6 +194,11 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
             cols["added_time"] = reqs["added_time"].to_numpy()
             for b in ("is_injecting", "is_addurl", "is_reindex", "fake_first_ip"):
                 cols[b] = reqs[b].to_numpy().astype(bool)
+            # URL-derived flags are not stored in the durable log —
+            # recompute them from the canonical URL (pure derivation)
+            from ..stages.canonicalize import url_flag_columns
+
+            cols.update(url_flag_columns(list(cols["url"])))
             core.add_requests(cols)
         reps = g[g["rec"] == "reply"]
         for r in reps.to_dict("records"):

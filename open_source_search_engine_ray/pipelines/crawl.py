@@ -221,11 +221,17 @@ def _wave_task_body(table_ipc, web_cfg, user_agent, num_partitions, out_dir):
     URLs; a full Dataset per wave costs more than the work, so waves
     under ``SMALL_WAVE_ROWS`` run as plain tasks (same cached stage
     code, same idempotency tokens — results are identical).  The table
-    arrives as Arrow IPC bytes (see table_to_ipc).  Route-back payloads
-    are RETURNED, not applied: the driver delivers them to the
-    partition actors so chunk tasks never hold a CPU slot blocked on an
-    actor RPC (measured: the in-task apply wait was ~35% of task
-    occupancy)."""
+    arrives as Arrow IPC bytes (see table_to_ipc).
+
+    Returns ``num_partitions + 1`` objects: a small meta dict, then one
+    route-back payload blob per partition (None when untouched).  The
+    driver pends only the ObjectRefs and piggybacks them onto each
+    partition's next schedule RPC; the actor fetches the bytes straight
+    from the object store.  This keeps chunk tasks from blocking a CPU
+    slot on actor RPCs (measured ~35% of task occupancy), keeps
+    route-back bytes out of the single-threaded driver, and stays
+    fault-tolerant: task-return objects are driver-owned and lineage-
+    reconstructable, and applies are idempotent via content tokens."""
     import time as _time
 
     from ..stages.fetch import _cached_fetch, _cached_parse
@@ -237,18 +243,29 @@ def _wave_task_body(table_ipc, web_cfg, user_agent, num_partitions, out_dir):
         _cached_fetch(web_cfg, user_agent)(table)
     )
     blobs = route_back_payloads(recs, out_dir)
-    return {"payloads": blobs, "compute_s": _time.perf_counter() - t0}
+    meta = {"parts": sorted(blobs), "compute_s": _time.perf_counter() - t0}
+    return tuple([meta] + [blobs.get(p) for p in range(num_partitions)])
 
 
-# smallest per-task chunk in the wave fan-out.  Measured on the headline
-# crawl: 2 → 2320 urls/s, 64 → 1882, 128 → 1671 — fine chunks win because
-# warm-worker task dispatch is cheap and small waves need every CPU, so
-# parallelism beats per-task overhead.  Keep 2.
-CHUNK_MIN_ROWS = 2
+# smallest per-task chunk in the wave fan-out.  Re-measured after the
+# route-back applies moved to the driver (chunk tasks no longer block on
+# actor RPCs): task_compute CPU-seconds on the headline crawl were 322 s
+# at floor 2, 184 s at 64, 156 s at 128 — the per-chunk fixed costs
+# (IPC decode, verify gate, sub-batch Arrow assembly) dominate tiny
+# chunks, and politeness-bound tail waves are latency-bound anyway.
+# 64 keeps medium waves parallel at the same wall time as 128.
+CHUNK_MIN_ROWS = 64
 
-SMALL_WAVE_ROWS = 65536  # waves up to this size use chunked raw tasks;
+SMALL_WAVE_ROWS = 1 << 20  # waves up to this size use chunked raw tasks;
 # larger waves go through a full Ray Data pipeline (streaming executor +
-# backpressure + spill matter only once a single wave outgrows memory)
+# backpressure + spill matter only once a single wave outgrows memory).
+# The chunk path is itself memory-bounded — launch slices and route-back
+# payloads live in the (spillable) object store, the driver holds only
+# refs — so the Dataset path is reserved for waves whose ROW COUNT alone
+# is plasma-scale.  Measured: an 86k-row wave ran 13x faster chunked,
+# and a Dataset execution's lingering executor state also depresses
+# subsequent raw-task waves 20-40% (see bench.py note).
+
 
 
 @dataclass
@@ -380,14 +397,14 @@ class _RayCrawlCtx:
         self.out_dir = out_dir
         self.checkpoint_every = checkpoint_every
         self._wave_task = _get_wave_task(ray)
-        FrontierActor = ray.remote(num_cpus=0.25)(FrontierCore)
+        FrontierActor = ray.remote(num_cpus=0.01)(FrontierCore)
         P = self.P = cfg.num_partitions
         manifest_path = os.path.join(out_dir, "checkpoints", "MANIFEST.json")
         resumed = False
         ck_wave = 0
         ck_now = 0
         if resume and os.path.exists(manifest_path):
-            RestoredActor = ray.remote(num_cpus=0.25)(_RestoredFrontier)
+            RestoredActor = ray.remote(num_cpus=0.01)(_RestoredFrontier)
             blobs = []
             for p in range(P):
                 with open(_ckpt_path(out_dir, p), "rb") as f:
@@ -436,13 +453,14 @@ class _RayCrawlCtx:
             )
         }
         self.ncpu = int(ray.cluster_resources().get("CPU", 8))
+        self._wave_trace: list = []  # (launch rows, wall s) per wave
+        self._pending: dict = {}  # partition -> [payload blobs] awaiting delivery
         # task_compute is CPU-seconds summed over chunk tasks
-        # (fetch+parse); tasks/apply are driver wall time
+        # (fetch+parse); schedule/prep/tasks are driver wall time
         self.timing = {
             "schedule": 0.0,
             "prep": 0.0,
             "tasks": 0.0,
-            "apply": 0.0,
             "task_compute": 0.0,
         }
         self.t_start = _time.monotonic()
@@ -457,6 +475,7 @@ class _RayCrawlCtx:
 
         if self.done:
             return False
+        _wave_t0 = _time.perf_counter()
         ray, cfg, P = self.ray, self.cfg, self.P
         nxt = min(self.events.values())
         if nxt >= INF or nxt > cfg.horizon_ms:
@@ -474,8 +493,18 @@ class _RayCrawlCtx:
             self.now = max(self.now, nxt + cfg.wave_window_ms)
         now = self.now
         due = [p for p in range(P) if self.events[p] <= now]
+        _buck0 = dict(self.timing)
         _t0 = _time.perf_counter()
-        rets = ray.get([self.actors[p].schedule_ipc.remote(now, self.waves) for p in due])
+        # pending route-backs ride along with the schedule RPC (touched
+        # partitions have events==0, so they are always due)
+        rets = ray.get(
+            [
+                self.actors[p].schedule_ipc.remote(
+                    now, self.waves, self._pending.pop(p, None)
+                )
+                for p in due
+            ]
+        )
         self.timing["schedule"] += _time.perf_counter() - _t0
         self.waves += 1
         tables = []
@@ -495,7 +524,7 @@ class _RayCrawlCtx:
             # serialize the wave; CHUNK_MIN_ROWS floor measured above
             chunk = max(CHUNK_MIN_ROWS, -(-total_rows // (4 * self.ncpu)))
             futs = [
-                self._wave_task.remote(
+                self._wave_task.options(num_returns=P + 1).remote(
                     table_to_ipc(merged.slice(off, chunk)),
                     self.web_cfg,
                     cfg.user_agent,
@@ -506,20 +535,18 @@ class _RayCrawlCtx:
             ]
             self.timing["prep"] += _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
-            apply_futs = []
-            for r in ray.get(futs):
-                for p, blob in r["payloads"].items():
-                    apply_futs.append(self.actors[p].apply_blob.remote(blob))
+            # no apply barrier: only the tiny meta object is fetched;
+            # payload REFS are pended and ride the NEXT schedule RPC to
+            # their partition, which pulls the bytes from the object
+            # store itself (applies are commutative + token-idempotent,
+            # so delivery order across tasks is free)
+            metas = ray.get([refs[0] for refs in futs])
+            for meta, refs in zip(metas, futs):
+                for p in meta["parts"]:
+                    self._pending.setdefault(p, []).append(refs[1 + p])
                     self.events[p] = 0  # completions/adds re-arm asap
-                self.timing["task_compute"] += r["compute_s"]
+                self.timing["task_compute"] += meta["compute_s"]
             self.timing["tasks"] += _time.perf_counter() - _t0
-            # the apply barrier: all route-backs land before the next
-            # schedule (applies are commutative + token-idempotent, so
-            # delivery order across tasks is free)
-            _t0 = _time.perf_counter()
-            if apply_futs:
-                ray.get(apply_futs)
-            self.timing["apply"] += _time.perf_counter() - _t0
         elif tables:
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
@@ -559,18 +586,58 @@ class _RayCrawlCtx:
                 )
             }
         if self.checkpoint_every and self.waves % self.checkpoint_every == 0:
+            # pending route-backs must be in actor state before it is
+            # checkpointed (a resume would otherwise lose them)
+            self._flush_pending()
             _checkpoint_all(ray, self.actors, self.out_dir, self.waves, now)
+        self._wave_trace.append(
+            (
+                total_rows,
+                _time.perf_counter() - _wave_t0,
+                {k: self.timing[k] - _buck0[k] for k in self.timing},
+            )
+        )
         if cfg.stop_after_waves and self.waves >= cfg.stop_after_waves:
             self.done = True  # simulated kill (test hook for resume)
             return False
         return True
 
+    def _flush_pending(self):
+        """Deliver any pended route-back payload refs now (end of crawl
+        or pre-checkpoint): partitions that will not be scheduled again
+        still need their final replies/requests applied."""
+        if not self._pending:
+            return
+        futs = [
+            self.actors[p].apply_pending.remote(refs)
+            for p, refs in self._pending.items()
+        ]
+        self._pending.clear()
+        self.ray.get(futs)
+
     def finalize(self) -> CrawlResult:
         ray = self.ray
+        self._flush_pending()
         if os.environ.get("GRAFT_TIMING"):
             print(
                 f"[crawl timing] waves={self.waves} "
                 + " ".join(f"{k}={v:.2f}s" for k, v in self.timing.items())
+            )
+            tr = sorted(self._wave_trace, key=lambda x: -x[1])
+            small = [w for r, w, _ in self._wave_trace if r <= 2048]
+            print(
+                "[wave trace] top5="
+                + " ".join(
+                    f"{r}r/{w*1e3:.0f}ms({ ' '.join(f'{k[:4]}={v:.2f}' for k, v in b.items() if v >= 0.01) })"
+                    for r, w, b in tr[:5]
+                )
+                + f" | small(n={len(small)})"
+                + (
+                    f" mean={sum(small)/len(small)*1e3:.0f}ms"
+                    f" max={max(small)*1e3:.0f}ms"
+                    if small
+                    else ""
+                )
             )
         if self.checkpoint_every:
             # final checkpoint: lets `inject` add URLs to the finished
@@ -618,11 +685,34 @@ def _finalize(self) -> dict:
     return {"fetch_log": self.fetch_log(), "metrics": self.get_metrics()}
 
 
-def _schedule_ipc(self, now_ms: int, wave_no: int | None = None) -> tuple:
+def _schedule_ipc(
+    self, now_ms: int, wave_no: int | None = None, apply_blobs: list | None = None
+) -> tuple:
     """Ray-boundary variant of schedule(): (Arrow IPC bytes,
     next-event-after-scan).  The driver uses the returned next-event to
     avoid a separate poll round (completions re-arm via the touched-
-    partition report from the wave tasks)."""
+    partition report from the wave tasks).
+
+    ``apply_blobs``: route-back payloads destined to THIS partition from
+    the previous wave (pickled bytes or ObjectRefs of them — refs are
+    pulled from the object store here, never through the driver),
+    applied before the scan — fusing the apply barrier into the
+    schedule RPC halves the serial round trips per wave.  Partition
+    state is independent, so apply-just-before-own-schedule is
+    equivalent to the old global apply barrier."""
+    if apply_blobs:
+        import pickle
+
+        import ray
+
+        for blob in apply_blobs:
+            if not isinstance(blob, bytes):
+                blob = ray.get(blob)
+            p = pickle.loads(blob)
+            if p.get("req_cols") is not None:
+                self.add_requests(p["req_cols"], token=p.get("req_token"))
+            if p.get("rep_cols") is not None:
+                self.complete(p["rep_cols"], token=p.get("rep_token"))
     t = self.schedule(now_ms, wave_no)
     if t.num_rows:
         _verify_launch_table(t, "actor-out")
@@ -641,6 +731,25 @@ def _complete_blob(self, blob: bytes, token=None) -> int:
     import pickle
 
     return self.complete(pickle.loads(blob), token=token)
+
+
+def _apply_pending(self, blobs) -> int:
+    """Apply a list of route-back payloads (bytes or ObjectRefs) outside
+    a schedule call — used by the driver's pre-checkpoint/final flush."""
+    import pickle
+
+    import ray
+
+    n = 0
+    for blob in blobs:
+        if not isinstance(blob, bytes):
+            blob = ray.get(blob)
+        p = pickle.loads(blob)
+        if p.get("req_cols") is not None:
+            n += self.add_requests(p["req_cols"], token=p.get("req_token"))
+        if p.get("rep_cols") is not None:
+            n += self.complete(p["rep_cols"], token=p.get("rep_token"))
+    return n
 
 
 def _apply_blob(self, blob: bytes) -> int:
@@ -664,6 +773,7 @@ FrontierCore.schedule_ipc = _schedule_ipc
 FrontierCore.add_requests_blob = _add_requests_blob
 FrontierCore.complete_blob = _complete_blob
 FrontierCore.apply_blob = _apply_blob
+FrontierCore.apply_pending = _apply_pending
 
 
 # ---------------------------------------------------------------------------

@@ -14,8 +14,27 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import gbhash
+from ..functions.urlfilter import (
+    url_is_permalink_format,
+    url_is_root,
+    url_is_rssext,
+)
 from ..functions.urlnorm import canonicalize, get_domain, get_host
 from ..state.frontier import part_of_ip
+
+
+def url_flag_columns(urls) -> dict:
+    """The URL-derived predicate flag columns of REQUEST_COLS, computed
+    at request-build time (XmlDoc.cpp:15360-15400) so the regex cost
+    runs on the wide fan-out instead of the frontier actors."""
+    n = len(urls)
+    return {
+        "is_root": np.fromiter((url_is_root(u) for u in urls), bool, n),
+        "is_rssext": np.fromiter((url_is_rssext(u) for u in urls), bool, n),
+        "is_permalink_format": np.fromiter(
+            (url_is_permalink_format(u) for u in urls), bool, n
+        ),
+    }
 
 
 def resolve_ip(host: str, host_ip: dict) -> int:
@@ -85,6 +104,7 @@ def make_request_columns(
         "is_addurl": np.full(n, is_addurl, dtype=bool),
         "is_reindex": np.zeros(n, dtype=bool),
         "fake_first_ip": np.zeros(n, dtype=bool),
+        **url_flag_columns(urls),
     }
     return cols
 

@@ -30,9 +30,21 @@ from ..functions.urlnorm import (
     get_path_with_query,
     outlink_check,
 )
+from ..functions.urlfilter import (
+    url_is_permalink_format,
+    url_is_root,
+    url_is_rssext,
+)
 from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html
 from ..state.frontier import part_of_ip
 from .canonicalize import resolve_ip
+
+
+def _url_flags(url: str) -> tuple:
+    """URL-derived predicate flags (XmlDoc.cpp:15360-15400) — computed
+    here on the parse fan-out so the frontier actors don't pay the
+    per-URL regex cost at admission."""
+    return (url_is_root(url), url_is_rssext(url), url_is_permalink_format(url))
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -74,6 +86,9 @@ RECORD_SCHEMA = pa.schema(
         ("is_addurl", pa.bool_()),
         ("is_reindex", pa.bool_()),
         ("fake_first_ip", pa.bool_()),
+        ("is_root", pa.bool_()),
+        ("is_rssext", pa.bool_()),
+        ("is_permalink_format", pa.bool_()),
         # reply fields
         ("spidered_time", pa.int64()),
         ("download_end_ms", pa.int64()),
@@ -287,20 +302,25 @@ class ParseStage:
         kept_src: list[int] = []
         kept_hop: list[int] = []
         kept_hosts: list[str] = []
+        kept_flags: list[tuple] = []  # (is_root, is_rssext, is_permalink_format)
         cache = self._link_cache
         for u, s, h in zip(link_raw, link_src, link_hop):
             if u.startswith(("http://", "https://")):
                 ent = cache.get(u)
                 if ent is None:
                     c = canonicalize(u)
-                    ent = (c, outlink_check(c) if c is not None else None)
+                    if c is None:
+                        ent = (None, None, None)
+                    else:
+                        ent = (c, outlink_check(c), _url_flags(c))
                     if len(cache) >= self.LINK_CACHE_MAX:
                         cache.clear()
                     cache[u] = ent
-                c, host = ent
+                c, host, flags = ent
             else:
                 c = canonicalize(u, base=urls[s])
                 host = outlink_check(c) if c is not None else None
+                flags = _url_flags(c) if host is not None else None
             # host is None when the canonical form fails the pure filter;
             # the self-link drop (XmlDoc.cpp:15458) stays outside the memo
             if host is not None and c != urls[s]:
@@ -308,6 +328,7 @@ class ParseStage:
                 kept_src.append(s)
                 kept_hop.append(h)
                 kept_hosts.append(host)
+                kept_flags.append(flags)
         uh_l = gbhash.uh48_batch(kept_urls)
         sel: list[int] = []
         cur_src = -1
@@ -349,6 +370,11 @@ class ParseStage:
             is_addurl=np.zeros(nz, bool),
             is_reindex=np.zeros(nz, bool),
             fake_first_ip=np.zeros(nz, bool),
+            is_root=np.fromiter((kept_flags[j][0] for j in sel), bool, nz),
+            is_rssext=np.fromiter((kept_flags[j][1] for j in sel), bool, nz),
+            is_permalink_format=np.fromiter(
+                (kept_flags[j][2] for j in sel), bool, nz
+            ),
             wave=wave[r_src],
         )
         return pa.concat_tables([reply, doc, req])

@@ -55,7 +55,6 @@ from ..functions.urlfilter import (
     FilterProgram,
     SiteList,
     url_is_permalink_format,
-    url_is_root,
     url_is_rssext,
 )
 from ..functions.urlnorm import get_domain
@@ -157,6 +156,14 @@ REQUEST_COLS = (
     "is_addurl",
     "is_reindex",
     "fake_first_ip",
+    # URL-derived predicate flags, computed where the URL is built
+    # (ParseStage workers / seed canonicalization) so the per-URL regex
+    # cost runs on the wide fan-out, not on the P frontier actors
+    # (reference sets them on the SpiderRequest at build time,
+    # XmlDoc.cpp:15360-15400)
+    "is_root",
+    "is_rssext",
+    "is_permalink_format",
 )
 
 REPLY_COLS = (
@@ -311,12 +318,11 @@ class FrontierCore:
                 "is_reindex": bool(cols["is_reindex"][i]),
                 "fake_first_ip": bool(cols["fake_first_ip"][i]),
                 "discovery_time": int(added[i]),
-                # URL-derived predicate flags, computed once at admission
-                # (the reference sets them on the SpiderRequest at build
-                # time, XmlDoc.cpp:15360-15400)
-                "is_root": url_is_root(url),
-                "is_rssext": url_is_rssext(url),
-                "is_permalink_format": url_is_permalink_format(url),
+                # URL-derived predicate flags arrive precomputed in the
+                # request columns (see REQUEST_COLS note)
+                "is_root": bool(cols["is_root"][i]),
+                "is_rssext": bool(cols["is_rssext"][i]),
+                "is_permalink_format": bool(cols["is_permalink_format"][i]),
             }
             srh = int(salts[i] ^ np.uint64(req["site_hash32"] & 0xFFFFFFFF))
             newly_seen = u48 not in self.requests

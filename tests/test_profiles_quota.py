@@ -56,6 +56,9 @@ def _mk_request_cols(urls, site32, dom32, hop=1):
         "is_addurl": np.zeros(n, dtype=bool),
         "is_reindex": np.zeros(n, dtype=bool),
         "fake_first_ip": np.zeros(n, dtype=bool),
+        "is_root": np.zeros(n, dtype=bool),
+        "is_rssext": np.zeros(n, dtype=bool),
+        "is_permalink_format": np.zeros(n, dtype=bool),
     }
 
 

@@ -193,6 +193,9 @@ def test_overflow_cap_bounds_hot_ip():
         "is_addurl": np.zeros(n, dtype=bool),
         "is_reindex": np.zeros(n, dtype=bool),
         "fake_first_ip": np.zeros(n, dtype=bool),
+        "is_root": np.zeros(n, dtype=bool),
+        "is_rssext": np.zeros(n, dtype=bool),
+        "is_permalink_format": np.zeros(n, dtype=bool),
     }
     core.add_requests(cols)
     assert len(core.by_ip[7]) == 5

@@ -44,6 +44,9 @@ def _cols(urls, ip=7):
         "is_addurl": np.zeros(n, dtype=bool),
         "is_reindex": np.zeros(n, dtype=bool),
         "fake_first_ip": np.zeros(n, dtype=bool),
+        "is_root": np.zeros(n, dtype=bool),
+        "is_rssext": np.zeros(n, dtype=bool),
+        "is_permalink_format": np.zeros(n, dtype=bool),
     }
 
 
