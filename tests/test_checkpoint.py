@@ -47,3 +47,29 @@ def test_kill_resume_equals_uninterrupted(tmp_path, ray_session):
     td, rd = truth.docs_table(), resumed.docs_table()
     assert td["doc_id"].to_pylist() == rd["doc_id"].to_pylist()
     assert td["spans"].to_pylist() == rd["spans"].to_pylist()
+
+
+def test_kill_on_non_checkpoint_wave_resumes_exactly(tmp_path, ray_session):
+    """Die on a wave that is NOT a checkpoint multiple: the in-flight
+    route-back payloads pended for the next schedule are lost with the
+    process (as in a real kill), and resume must replay from the last
+    checkpoint to the identical final crawl."""
+    truth = run_crawl(WEB, CFG, str(tmp_path / "truth"), engine="ray")
+    out = str(tmp_path / "resumable")
+    partial = run_crawl(
+        WEB,
+        replace(CFG, stop_after_waves=7),
+        out,
+        engine="ray",
+        checkpoint_every=3,  # last checkpoint at wave 6, death at 7
+    )
+    assert partial.metrics["launched"] < truth.metrics["launched"]
+    resumed = run_crawl(WEB, CFG, out, engine="ray", resume=True)
+    assert resumed.metrics == truth.metrics
+    assert truth.url_seen == resumed.url_seen
+    assert truth.fetch_log == resumed.fetch_log
+    t = truth.launch_log.to_pylist()
+    r = resumed.launch_log.to_pylist()
+    assert [(x["wave"], x["part_id"], x["seq"], x["uh48"]) for x in t] == [
+        (x["wave"], x["part_id"], x["seq"], x["uh48"]) for x in r
+    ]
