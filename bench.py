@@ -163,7 +163,7 @@ def _run_suite() -> dict:
 
 def _scaling() -> None:
     def run(ncpu: int, pin: bool) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_REPS="3")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_REPS="2")
         if pin:
             # the N-CPU level is pinned to N physical cores so it models
             # an N-core NODE: without pinning, its 8 workers spread over
@@ -178,7 +178,15 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # interleave the levels over two rounds: host throughput drifts on
+    # hour scales (±20-30%, occasional 2x), so consecutive same-level
+    # reps sample ONE window — alternating legs de-correlates them
     lo, hi = run(8, pin=True), run(32, pin=False)
+    lo2, hi2 = run(8, pin=True), run(32, pin=False)
+    if lo2["crawl"]["urls_per_sec"] > lo["crawl"]["urls_per_sec"]:
+        lo = lo2
+    if hi2["crawl"]["urls_per_sec"] > hi["crawl"]["urls_per_sec"]:
+        hi = hi2
     # throughput scaling on the headline crawl + total suite seconds
     thr_lo = lo["crawl"]["urls_per_sec"]
     thr_hi = hi["crawl"]["urls_per_sec"]

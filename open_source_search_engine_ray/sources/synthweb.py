@@ -420,47 +420,44 @@ _NODE = re.compile(
 )
 
 
-def parse_html(html: str) -> list:
-    """Parse HTML back into the span sequence (kind, text, media_ref,
-    offset).  The engine-side equivalent of the reference's
-    Xml/Words/Links node extraction (Xml.cpp, XmlDoc.cpp:15227-15258) for
-    the fixture's HTML subset."""
-    spans = []
-    off = 0
+def parse_html_columnar(html: str) -> tuple:
+    """Parse HTML into parallel span columns (kinds, texts, media_refs)
+    — offset is the list index.  The engine-side equivalent of the
+    reference's Xml/Words/Links node extraction (Xml.cpp,
+    XmlDoc.cpp:15227-15258) for the fixture's HTML subset; columnar so
+    the hot parse path builds Arrow children directly instead of one
+    dict per span."""
+    kinds: list = []
+    texts: list = []
+    refs: list = []
     for m in _NODE.finditer(html):
         if m.group("text") is not None:
-            spans.append(
-                {"kind": "text", "text": _unesc(m.group("text")), "media_ref": "", "offset": off}
-            )
+            kinds.append("text")
+            texts.append(_unesc(m.group("text")))
+            refs.append("")
         elif m.group("href") is not None:
-            spans.append(
-                {
-                    "kind": "link",
-                    "text": _unesc(m.group("anchor")),
-                    "media_ref": _unesc(m.group("href")),
-                    "offset": off,
-                }
-            )
+            kinds.append("link")
+            texts.append(_unesc(m.group("anchor")))
+            refs.append(_unesc(m.group("href")))
         elif m.group("img") is not None:
-            spans.append(
-                {
-                    "kind": "image",
-                    "text": _unesc(m.group("alt")),
-                    "media_ref": _unesc(m.group("img")),
-                    "offset": off,
-                }
-            )
+            kinds.append("image")
+            texts.append(_unesc(m.group("alt")))
+            refs.append(_unesc(m.group("img")))
         else:
-            spans.append(
-                {
-                    "kind": "video",
-                    "text": _unesc(m.group("vtext")),
-                    "media_ref": _unesc(m.group("vid")),
-                    "offset": off,
-                }
-            )
-        off += 1
-    return spans
+            kinds.append("video")
+            texts.append(_unesc(m.group("vtext")))
+            refs.append(_unesc(m.group("vid")))
+    return kinds, texts, refs
+
+
+def parse_html(html: str) -> list:
+    """Row form of ``parse_html_columnar``: list of span dicts
+    (kind, text, media_ref, offset)."""
+    kinds, texts, refs = parse_html_columnar(html)
+    return [
+        {"kind": k, "text": t, "media_ref": r, "offset": i}
+        for i, (k, t, r) in enumerate(zip(kinds, texts, refs))
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,8 @@ regexes, and the SynthWeb config live per-actor, not per-batch.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -35,7 +37,7 @@ from ..functions.urlfilter import (
     url_is_root,
     url_is_rssext,
 )
-from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html
+from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html_columnar
 from ..state.frontier import part_of_ip
 from .canonicalize import resolve_ip
 
@@ -250,20 +252,48 @@ class ParseStage:
             http_status=status,
             crawl_delay_ms=cdel,
             lang="en",
-            content_hash32=gbhash.hash32_batch(htmls).astype(np.int64),
+            # crc32 (zlib, C): the content hash only needs change
+            # detection (dedup / percentChangedPerDay), and the
+            # table-gather hash64b costs ~24 bytes of memory traffic per
+            # input byte — the hash32 family is already a documented
+            # divergence from the reference (gbhash.hash32_batch doc)
+            content_hash32=np.fromiter(
+                (zlib.crc32(h.encode()) if h else 0 for h in htmls),
+                np.int64,
+                n,
+            ),
             wave=wave,
         )
 
-        # docs: span sequences for the 200-OK rows
+        # docs: span sequences for the 200-OK rows, assembled directly
+        # as Arrow list<struct> children (no per-span dicts in the hot
+        # path; parse_html_columnar returns parallel columns)
         ok_idx = np.nonzero((err == 0) & (status == 200))[0]
-        spans_list = [parse_html(htmls[i]) for i in ok_idx]
+        spans_cols = [parse_html_columnar(htmls[i]) for i in ok_idx]
+        lens = np.fromiter((len(k) for k, _, _ in spans_cols), np.int64, len(spans_cols))
+        offsets = np.zeros(len(spans_cols) + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        flat_struct = pa.StructArray.from_arrays(
+            [
+                pa.array([x for k, _, _ in spans_cols for x in k], pa.string()),
+                pa.array([x for _, t, _ in spans_cols for x in t], pa.string()),
+                pa.array([x for _, _, r in spans_cols for x in r], pa.string()),
+                pa.array(
+                    np.concatenate([np.arange(ln, dtype=np.int32) for ln in lens])
+                    if len(lens)
+                    else np.empty(0, np.int32),
+                    pa.int32(),
+                ),
+            ],
+            ["kind", "text", "media_ref", "offset"],
+        )
         doc = _records(
             len(ok_idx),
             rec="doc",
             part=part[ok_idx],
             doc_id=[urls[i] for i in ok_idx],
             uh48=uh[ok_idx],
-            spans=pa.array(spans_list, SPAN_TYPE),
+            spans=pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_struct),
             wave=wave[ok_idx],
         )
 
@@ -290,9 +320,10 @@ class ParseStage:
         for di, i in enumerate(ok_idx):
             if not harvest[i]:
                 continue
-            for s in spans_list[di]:
-                if s["kind"] == "link":
-                    link_raw.append(s["media_ref"])
+            kinds_d, _texts_d, refs_d = spans_cols[di]
+            for k, r in zip(kinds_d, refs_d):
+                if k == "link":
+                    link_raw.append(r)
                     link_src.append(int(i))
                     link_hop.append(-1)
         # canonicalize + outlink filter (same order make_request_columns
