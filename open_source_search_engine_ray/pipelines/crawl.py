@@ -497,43 +497,71 @@ class _RayCrawlCtx:
         _t0 = _time.perf_counter()
         # pending route-backs ride along with the schedule RPC (touched
         # partitions have events==0, so they are always due)
-        rets = ray.get(
-            [
-                self.actors[p].schedule_ipc.remote(
-                    now, self.waves, self._pending.pop(p, None)
-                )
-                for p in due
-            ]
-        )
-        self.timing["schedule"] += _time.perf_counter() - _t0
+        sched = {
+            self.actors[p].schedule_ipc.remote(
+                now, self.waves, self._pending.pop(p, None)
+            ): p
+            for p in due
+        }
         self.waves += 1
-        tables = []
-        for p, (blob, ev) in zip(due, rets):
+
+        def _submit_chunks(t: pa.Table, chunk: int, futs: list):
+            for off in range(0, t.num_rows, chunk):
+                futs.append(
+                    self._wave_task.options(num_returns=P + 1).remote(
+                        table_to_ipc(t.slice(off, chunk)),
+                        self.web_cfg,
+                        cfg.user_agent,
+                        P,
+                        self.out_dir,
+                    )
+                )
+
+        # chunked task fan-out with schedule/dispatch overlap: as each
+        # partition's scan returns, a BIG launch table (one that alone
+        # fills the 4-chunks-per-CPU fan-out at the chunk floor) is
+        # sliced and submitted immediately — its fetch work overlaps the
+        # remaining partitions' scan+apply RPCs.  Small tables are
+        # merged and chunked together once all scans are in (per-table
+        # chunking would shatter them into floor-size fragments).  The
+        # Dataset path takes over per TABLE when a single partition's
+        # wave outgrows the object-store-friendly chunk regime.
+        big_rows = 4 * self.ncpu * CHUNK_MIN_ROWS
+        futs: list = []
+        small_tables = []
+        ds_tables = []
+        total_rows = 0
+        pending_s = list(sched)
+        while pending_s:
+            done, pending_s = ray.wait(pending_s, num_returns=1)
+            p = sched[done[0]]
+            blob, ev = ray.get(done[0])
             self.events[p] = ev
             t = ipc_to_table(blob)
-            if t.num_rows:
-                tables.append(t)
-        total_rows = sum(t.num_rows for t in tables)
-        if tables and total_rows <= SMALL_WAVE_ROWS:
-            # chunked task fan-out: the Dataset machinery costs ~100s of ms
-            # per execution, far more than a small wave's work; raw tasks
-            # keep the whole cluster busy at ~ms scheduling cost
-            _t0 = _time.perf_counter()
-            merged = pa.concat_tables(tables)
+            if not t.num_rows:
+                continue
+            total_rows += t.num_rows
+            if t.num_rows > SMALL_WAVE_ROWS:
+                ds_tables.append(t)
+            elif t.num_rows >= big_rows:
+                _submit_chunks(
+                    t, max(CHUNK_MIN_ROWS, -(-t.num_rows // (4 * self.ncpu))), futs
+                )
+            else:
+                small_tables.append(t)
+        self.timing["schedule"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        if small_tables:
+            merged = pa.concat_tables(small_tables)
             # ~4 chunks per CPU: fine-grained enough that stragglers don't
             # serialize the wave; CHUNK_MIN_ROWS floor measured above
-            chunk = max(CHUNK_MIN_ROWS, -(-total_rows // (4 * self.ncpu)))
-            futs = [
-                self._wave_task.options(num_returns=P + 1).remote(
-                    table_to_ipc(merged.slice(off, chunk)),
-                    self.web_cfg,
-                    cfg.user_agent,
-                    P,
-                    self.out_dir,
-                )
-                for off in range(0, total_rows, chunk)
-            ]
-            self.timing["prep"] += _time.perf_counter() - _t0
+            _submit_chunks(
+                merged,
+                max(CHUNK_MIN_ROWS, -(-merged.num_rows // (4 * self.ncpu))),
+                futs,
+            )
+        self.timing["prep"] += _time.perf_counter() - _t0
+        if futs:
             _t0 = _time.perf_counter()
             # no apply barrier: only the tiny meta object is fetched;
             # payload REFS are pended and ride the NEXT schedule RPC to
@@ -547,7 +575,8 @@ class _RayCrawlCtx:
                     self.events[p] = 0  # completions/adds re-arm asap
                 self.timing["task_compute"] += meta["compute_s"]
             self.timing["tasks"] += _time.perf_counter() - _t0
-        elif tables:
+        if ds_tables:
+            tables = ds_tables
             ds = rd.from_arrow(tables)
             if cfg.stage_mode == "actors":
                 ds = ds.map_batches(
@@ -585,6 +614,11 @@ class _RayCrawlCtx:
                     ray.get([a.next_event_ms.remote() for a in self.actors])
                 )
             }
+            # partitions with pended (undelivered) chunk-path payloads
+            # must stay due — the refresh reads actor state that does
+            # not include them yet
+            for p in self._pending:
+                self.events[p] = 0
         if self.checkpoint_every and self.waves % self.checkpoint_every == 0:
             # pending route-backs must be in actor state before it is
             # checkpointed (a resume would otherwise lose them)
