@@ -228,3 +228,47 @@ def test_dedup_multiple_uh48_groups():
     out = dedup_frontier(recs)
     assert len(out) == 4
     assert out[2].hop_count == 2
+
+
+def test_route_back_apply_is_token_idempotent():
+    """Ray task retries re-deliver identical payload blobs; the
+    content-derived token must make application exactly-once through
+    every delivery surface (apply_blob, apply_pending, schedule_ipc)."""
+    import pickle
+
+    import numpy as np
+
+    import open_source_search_engine_ray.pipelines.crawl  # attaches the methods
+    from open_source_search_engine_ray.functions.gbhash import uh48_batch
+    from open_source_search_engine_ray.state.frontier import CrawlConfig, FrontierCore
+
+    urls = [f"http://h{i:04d}.test/" for i in range(5)]
+    n = len(urls)
+    cols = {
+        "url": np.array(urls, dtype=object),
+        "uh48": uh48_batch(urls),
+        "first_ip": np.arange(n, dtype=np.int64) + 7,
+        "host": np.array([u[7:-1] for u in urls], dtype=object),
+        "dom_hash32": np.full(n, 5, dtype=np.int64),
+        "site_hash32": np.full(n, 6, dtype=np.int64),
+        "hop_count": np.zeros(n, dtype=np.int64),
+        "added_time": np.zeros(n, dtype=np.int64),
+        "parent_ip": np.zeros(n, dtype=np.int64),
+        "is_injecting": np.zeros(n, dtype=bool),
+        "is_addurl": np.zeros(n, dtype=bool),
+        "is_reindex": np.zeros(n, dtype=bool),
+        "fake_first_ip": np.zeros(n, dtype=bool),
+        "is_root": np.ones(n, dtype=bool),
+        "is_rssext": np.zeros(n, dtype=bool),
+        "is_permalink_format": np.zeros(n, dtype=bool),
+    }
+    core = FrontierCore(0, CrawlConfig(num_partitions=1, verify_integrity=True))
+    blob = pickle.dumps({"req_cols": cols, "req_token": "tok-1"})
+    assert core.apply_blob(blob) == n
+    assert core.apply_blob(blob) == 0  # retry delivery: no-op
+    assert core.apply_pending([blob]) == 0  # flush path sees it too
+    assert core.metrics["added"] == n
+    # a different token with identical rows is treated as a new batch
+    blob2 = pickle.dumps({"req_cols": cols, "req_token": "tok-2"})
+    core.apply_pending([blob2])  # dup-cache absorbs the rows
+    assert core.metrics["added"] == n  # still admitted exactly once
