@@ -425,10 +425,11 @@ def url_is_root(url: str) -> bool:
 
 def url_is_rssext(url: str) -> bool:
     """Request-side RSS guess by extension (Sections.cpp:109-111;
-    XmlDoc.cpp:15368 sets m_isRSSExt from the outlink extension)."""
+    XmlDoc.cpp:15341-15349 sets m_isRSSExt for .rss/.xml/.atom outlink
+    extensions, case-insensitive)."""
     path = url.split("://", 1)[-1]
-    path = path.split("?", 1)[0]
-    return path.lower().endswith(".rss")
+    path = path.split("?", 1)[0].lower()
+    return path.endswith((".rss", ".xml", ".atom"))
 
 
 def url_is_permalink_format(url: str) -> bool:

@@ -392,9 +392,14 @@ class ParseStage:
             host=hosts,
             dom_hash32=gbhash.hash32_batch(domains).astype(np.int64),
             site_hash32=gbhash.hash32_batch(hosts).astype(np.int64),
-            hop_count=np.where(r_hop_ovr >= 0, r_hop_ovr, hop[r_src] + 1).astype(
-                np.int32
-            ),
+            # redirect keeps parent hop (XmlDoc.cpp:15377-15380); a site
+            # root always resets to 0 and wins over the redir keep
+            # (XmlDoc.cpp:15381 "if (issiteroot) ksr.m_hopCount = 0")
+            hop_count=np.where(
+                np.fromiter((kept_flags[j][0] for j in sel), bool, nz),
+                0,
+                np.where(r_hop_ovr >= 0, r_hop_ovr, hop[r_src] + 1),
+            ).astype(np.int32),
             added_time=end_s[r_src],
             parent_ip=first_ip[r_src],
             is_injecting=np.zeros(nz, bool),

@@ -63,8 +63,10 @@ def test_redirect_crawl_engine_equals_oracle(ray_session):
 
 
 def test_parse_stage_keeps_hop_for_redirect_target():
-    """Unit check of XmlDoc.cpp:15377-15380: the redirect-target request
-    carries the PARENT's hop count, not hop+1."""
+    """Unit check of XmlDoc.cpp:15377-15381: the redirect-target request
+    carries the PARENT's hop count, not hop+1 — unless the target is a
+    site root, which always resets to 0 ("if (issiteroot) m_hopCount=0"
+    comes after the redirect keep and wins)."""
     import pyarrow as pa
 
     from open_source_search_engine_ray.functions.gbhash import uh48_batch
@@ -72,24 +74,36 @@ def test_parse_stage_keeps_hop_for_redirect_target():
     from open_source_search_engine_ray.state.frontier import LAUNCH_SCHEMA
 
     web = SynthWeb(WEB)
-    alias = f"http://{web.hosts[4]}/r0.html"
-    row = {
-        "url": alias, "uh48": int(uh48_batch([alias])[0]),
-        "first_ip": int(web.ips[4]), "host": web.hosts[4], "dom_hash32": 1,
-        "hop_count": 3, "added_time": 5, "priority": 47, "ufn": 3,
-        "harvest_links": True, "err_count": 0, "launch_ms": 1000,
-        "wave": 2, "part_id": 0, "seq": 0,
-    }
-    t = pa.Table.from_pylist([row], schema=LAUNCH_SCHEMA)
-    out = ParseStage(WEB, 4)(FetchStage(WEB)(t))
-    recs = out.to_pylist()
-    reqs = [r for r in recs if r["rec"] == "request"]
+
+    def parse_alias(h: int, k: int) -> list[dict]:
+        alias = f"http://{web.hosts[h]}/r{k}.html"
+        row = {
+            "url": alias, "uh48": int(uh48_batch([alias])[0]),
+            "first_ip": int(web.ips[h]), "host": web.hosts[h],
+            "dom_hash32": 1, "hop_count": 3, "added_time": 5,
+            "priority": 47, "ufn": 3, "harvest_links": True,
+            "err_count": 0, "launch_ms": 1000,
+            "wave": 2, "part_id": 0, "seq": 0,
+        }
+        t = pa.Table.from_pylist([row], schema=LAUNCH_SCHEMA)
+        recs = ParseStage(web.cfg, 4)(FetchStage(web.cfg)(t)).to_pylist()
+        assert [r for r in recs if r["rec"] == "reply"][0][
+            "err_code"
+        ] == ERR_SIMPLIFIED_REDIR
+        assert not [r for r in recs if r["rec"] == "doc"]
+        return [r for r in recs if r["rec"] == "request"]
+
+    # non-root target (host 0 /r1.html → /p1.html): parent hop preserved
+    reqs = parse_alias(0, 1)
+    assert len(reqs) == 1
+    assert reqs[0]["url"] == web.page_url(0, 1)
+    assert reqs[0]["hop_count"] == 3  # preserved, not 4
+
+    # site-root target (host 4 /r0.html → /): root override wins → hop 0
+    reqs = parse_alias(4, 0)
     assert len(reqs) == 1
     assert reqs[0]["url"] == web.page_url(4, 0)
-    assert reqs[0]["hop_count"] == 3  # preserved, not 4
-    reply = [r for r in recs if r["rec"] == "reply"][0]
-    assert reply["err_code"] == ERR_SIMPLIFIED_REDIR
-    assert not [r for r in recs if r["rec"] == "doc"]
+    assert reqs[0]["is_root"] and reqs[0]["hop_count"] == 0
 
 
 def test_redirect_error_reply_recorded(ray_session):
