@@ -126,6 +126,19 @@ def _run_suite() -> dict:
     results["queries"]["crawl_frontier"] = round(crawl_sec, 3)
 
     # -- relational + training pipelines ----------------------------------
+    # fresh Ray session: the crawl's raw-task executor state lingers and
+    # was measured to slow the Ray Data query suite 2-4x (q1 9.8 s stale
+    # vs 3.9 s fresh, q3 11.4 vs 1.8, q5 10.0 vs 2.5 at sf0.1/32 cpus) —
+    # the r2 suite regression was almost entirely this
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
     from open_source_search_engine_ray.pipelines import relational as R
     from open_source_search_engine_ray.pipelines import training as T
 

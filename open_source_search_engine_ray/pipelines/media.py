@@ -141,6 +141,7 @@ class MediaDecodeStage:
         out_w = np.round(w * scale).astype(np.int32)
         out_h = np.round(h * scale).astype(np.int32)
         sampled = np.maximum(1, fr // self.frame_stride)
+        norms = np.round(np.linalg.norm(feats, axis=1), 4)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -153,6 +154,7 @@ class MediaDecodeStage:
                 "resized_h": pa.array(out_h),
                 "sampled_frames": pa.array(sampled),
                 "feature": pa.array(list(feats), pa.list_(pa.float64(), FEATURE_DIM)),
+                "feature_norm": pa.array(norms),
             }
         )
 
@@ -179,7 +181,5 @@ def media_features(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         num_cpus=1,
     )
-    df = out.to_pandas()
-    df["feature_norm"] = [round(float(np.linalg.norm(f)), 4) for f in df["feature"]]
-    df = df.drop(columns=["feature"])
+    df = out.drop_columns(["feature"]).to_pandas()
     return df.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)

@@ -56,30 +56,21 @@ def np_lookup(keys: np.ndarray, sorted_keys: np.ndarray, values: np.ndarray, def
     return out, hit
 
 
-def _partial_group_sum(ds, keys: list, sums: dict, count_col: str | None = None):
-    """map_batches partial aggregation → tiny groupby shuffle.
-    ``sums``: {out_col: in_col}; optional count column."""
-    from ray.data.aggregate import Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg = {out: (src, "sum") for out, src in sums.items()}
-        g = df.groupby(keys, as_index=False).agg(**agg)
-        if count_col:
-            cnt = df.groupby(keys, as_index=False).size().rename(columns={"size": count_col})
-            g = g.merge(cnt, on=keys)
-        return g
-
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
-    aggs = [Sum(c, alias_name=c) for c in sums]
-    if count_col:
-        aggs.append(Sum(count_col, alias_name=count_col))
-    return part.groupby(keys).aggregate(*aggs)
+#: partial-aggregate outputs at or under this many rows are combined on
+#: the driver (one vectorized pandas groupby over a few-MB frame) instead
+#: of paying a sort shuffle.  The partial row count is bounded by
+#: (blocks x groups-per-block), NOT by input rows, so this is a cheap
+#: materialize-and-count decision, Spark-AQE-style; at 100 TB with
+#: high-cardinality keys the partials measure big and take the sort path.
+GROUP_AGG_DRIVER_COMBINE_MAX_ROWS = 1_000_000
 
 
-def group_sum(
-    ds, keys: list, sums: dict, count_col: str | None = None
+def group_agg(
+    ds, keys: list, aggs: dict, count_col: str | None = None
 ) -> pd.DataFrame:
-    """Distributed group-by-sum that stays fast at HIGH key cardinality.
+    """Distributed group-by aggregate that stays fast at HIGH key
+    cardinality.  ``aggs``: {out_col: (in_col, how)} with how in
+    {sum, min, max}; optional count column.
 
     Ray Data's built-in ``groupby().aggregate()`` falls into a sort +
     per-group Python reduce on plain map_batches pipelines (measured
@@ -87,18 +78,22 @@ def group_sum(
     count), only switching to vectorized hash aggregation when the plan
     already contains a hash shuffle (e.g. after ``Dataset.join``).
     This helper never depends on the planner: vectorized per-block
-    partial aggregation (one partial row per (block, group)), a sort
-    shuffle of the partials, a vectorized per-block combine, and an
-    O(result + block boundaries) driver-side merge for groups that
-    straddle sorted-block edges.  The driver holds only result-sized
-    data — which the caller returns as a DataFrame anyway.
-
-    ``sums``: {out_col: in_col}; optional count column.
+    partial aggregation (one partial row per (block, group)), then —
+    size-adaptively — either a driver-side pandas combine when the
+    measured partial output is small, or a sort shuffle of the partials
+    + vectorized per-block combine + an O(result) driver merge for
+    groups that straddle sorted-block edges.  The driver holds only
+    result-sized data — which the caller returns as a DataFrame anyway.
     """
+    spec = {out: (src, how) for out, (src, how) in aggs.items()}
+    for out, (_src, how) in spec.items():
+        if how not in ("sum", "min", "max"):
+            raise ValueError(f"group_agg: unsupported how={how!r} for {out}")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg = {out: (src, "sum") for out, src in sums.items()}
-        g = df.groupby(keys, as_index=False).agg(**agg)
+        g = df.groupby(keys, as_index=False).agg(
+            **{out: (src, how) for out, (src, how) in spec.items()}
+        )
         if count_col:
             cnt = (
                 df.groupby(keys, as_index=False)
@@ -108,16 +103,34 @@ def group_sum(
             g = g.merge(cnt, on=keys)
         return g
 
-    cols = list(sums) + ([count_col] if count_col else [])
+    # combining partials: sums/counts add, mins/maxes re-min/re-max
+    comb_spec = {out: (out, how) for out, (_src, how) in spec.items()}
+    if count_col:
+        comb_spec[count_col] = (count_col, "sum")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False)[cols].sum()
+        return df.groupby(keys, as_index=False).agg(
+            **{o: (c, h) for o, (c, h) in comb_spec.items()}
+        )
 
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=64 * 1024
+    ).materialize()
+    if part.count() <= GROUP_AGG_DRIVER_COMBINE_MAX_ROWS:
+        return combine(part.to_pandas())
     comb = part.sort(keys).map_batches(
         combine, batch_format="pandas", batch_size=64 * 1024
     )
     return combine(comb.to_pandas())
+
+
+def group_sum(
+    ds, keys: list, sums: dict, count_col: str | None = None
+) -> pd.DataFrame:
+    """``group_agg`` with every column summed (``sums``: {out: in})."""
+    return group_agg(
+        ds, keys, {out: (src, "sum") for out, src in sums.items()}, count_col
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +161,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         return df
 
     ds = ds.map_batches(prep, batch_format="pandas", batch_size=128 * 1024)
-    out = _partial_group_sum(
+    df = group_sum(
         ds,
         ["l_returnflag", "l_linestatus"],
         {
@@ -160,7 +173,6 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         },
         count_col="count_order",
     )
-    df = out.to_pandas()
     df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
     df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
     df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(4)
@@ -418,22 +430,49 @@ def q_events_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+#: bounded partition count for per-user windowed ops: millions of users
+#: must NOT become millions of map_groups pandas frames (~2-4 ms each);
+#: instead users are hashed into WINDOW_BUCKETS groups and each bucket
+#: runs ONE vectorized pandas pass over all its users.
+WINDOW_BUCKETS = 32
+
+
+def _user_buckets(ds, user_col: str = "user_id"):
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["upart"] = (
+            (df[user_col].to_numpy().astype(np.uint64) * 2654435761)
+            % WINDOW_BUCKETS
+        ).astype("int64")
+        return df
+
+    return ds.map_batches(add_part, batch_format="pandas").groupby("upart")
+
+
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (streaming-shaped): per user, a new session starts
     after a >30-minute gap; returns per-user session count + event count.
-    Ray: groupby(user).map_groups over ts-sorted groups; SQL: window
-    lag/sum."""
+    Ray: bounded hash(user)-bucket shuffle, one vectorized pandas pass
+    per bucket (groupby(user).diff + boolean sum — never one frame per
+    user); SQL: window lag/sum."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e9)
-        n_sessions = int((gaps > 1800).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(1e9)
+        out = (
+            g.assign(new_sess=(gaps > 1800).to_numpy())
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("new_sess", "sum"), n_events=("new_sess", "size"))
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = (
+        _user_buckets(ds)
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -462,9 +501,15 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        purchases = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
-        logins = g[g["event_type"] == "login"][["ts"]].rename(columns={"ts": "login_ts"})
+        # one merge_asof(by=user) per BUCKET of users, not per user
+        purchases = g.loc[
+            g["event_type"] == "purchase", ["event_id", "user_id", "ts"]
+        ].sort_values("ts", kind="stable")
+        logins = (
+            g.loc[g["event_type"] == "login", ["user_id", "ts"]]
+            .rename(columns={"ts": "login_ts"})
+            .sort_values("login_ts", kind="stable")
+        )
         if purchases.empty:
             return pd.DataFrame(
                 {
@@ -474,23 +519,23 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
                 }
             )
         m = pd.merge_asof(
-            purchases.sort_values("ts"),
-            logins.sort_values("login_ts"),
+            purchases,
+            logins,
             left_on="ts",
             right_on="login_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
                 "user_id": m["user_id"].astype("int64"),
                 "last_login": m["login_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna(""),
             }
         )
-        return out
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    out = _user_buckets(ds).map_groups(asof, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -523,17 +568,21 @@ def q_window_running(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # vectorized per bucket: sort by (ts, event_id) — within each
+        # user the relative order equals the per-user sort — then
+        # grouped cumcount/cumsum, which respect row order
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].astype("int64"),
                 "user_id": g["user_id"].astype("int64"),
-                "running_n": np.arange(1, len(g) + 1, dtype="int64"),
-                "running_value": g["value"].cumsum().round(2),
+                "running_n": (grp.cumcount() + 1).astype("int64"),
+                "running_value": grp["value"].cumsum().round(2),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas").to_pandas()
+    out = _user_buckets(ds).map_groups(running, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -577,7 +626,7 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
     ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
-        nm = ray.get(ref)
+        nm = bget(ref)  # once per worker; ray.get re-deserializes dicts
         return df.assign(n_name=df["s_nationkey"].map(nm))
 
     ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])

@@ -62,12 +62,12 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = ds.map_batches(fp, batch_format="pandas")
 
-    # Min aggregate, not 1-row map_groups frames: at 100 TB there are
-    # ~as many unique fingerprints as documents, and millions of tiny
-    # pandas groups would dominate the runtime
-    from ray.data.aggregate import Min
+    # vectorized group-min (relational.group_agg): fingerprints are
+    # ~unique per document, so Ray Data's groupby().aggregate() would hit
+    # its per-group Python reduce (~2-4 ms/group — CLAUDE.md invariant 7)
+    from .relational import group_agg
 
-    out = ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")).to_pandas()
+    out = group_agg(ds, ["fp"], {"doc_id": ("doc_id", "min")})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
@@ -110,12 +110,18 @@ def minhash_lsh_dedup(
         sh, sh_lens = dd.shingle_hashes(flat, lens)
         sig = dd.minhash_signatures(sh, sh_lens, num_perm=num_perm)
         keys = dd.lsh_band_keys(sig, bands=bands)
-        n = len(df)
+        # signatures travel the shuffle as ONE binary cell per row
+        # (Arrow binary) — an object column of numpy arrays costs a
+        # pickle per element and was the minhash shuffle's hot spot
+        raw = sig.astype("<u8", copy=False).tobytes()
+        step = 8 * num_perm
+        sig_bytes = np.empty(len(df), dtype=object)
+        sig_bytes[:] = [raw[i * step : (i + 1) * step] for i in range(len(df))]
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
                 "bucket": keys.ravel(),
-                "sig": list(np.repeat(sig, bands, axis=0)),
+                "sig": np.repeat(sig_bytes, bands),
             }
         )
 
@@ -136,7 +142,9 @@ def minhash_lsh_dedup(
             if len(grp) < 2:
                 continue
             ids = grp["doc_id"].to_numpy()
-            sigm = np.stack(grp["sig"].to_numpy())
+            sigm = np.frombuffer(b"".join(grp["sig"]), dtype="<u8").reshape(
+                len(grp), -1
+            )
             order = np.argsort(ids, kind="stable")
             ids, sigm = ids[order], sigm[order]
             for i in range(len(ids)):
