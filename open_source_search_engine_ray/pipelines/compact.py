@@ -202,12 +202,9 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
             core.add_requests(cols)
         reps = g[g["rec"] == "reply"]
         for r in reps.to_dict("records"):
-            rep = _row_to_rec(r)
             # newest-reply-wins, mirroring FrontierCore.complete — makes
             # reply application commutative under any block/row ordering
-            prev = core.replies.get(rep.uh48)
-            if prev is None or rep.spidered_time >= prev.spidered_time:
-                core.replies[rep.uh48] = rep
+            core.apply_reply_newest(_row_to_rec(r))
         # quota pre-count pass over the applied log (the reference's
         # m_countingPagesIndexed scan before winner selection)
         core.recount_quotas()

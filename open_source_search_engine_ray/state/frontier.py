@@ -2,32 +2,39 @@
 
 One instance owns one frontier partition (all IPs with
 ``part_of_ip(ip) == part_id``), reproducing the reference SpiderColl's
-cooperating structures (SpiderColl.h:26-282) as plain dicts/heaps:
+cooperating structures (SpiderColl.h:26-282) — but stored COLUMNAR:
 
-- ``requests``/``replies``     ↔ spiderdb request+reply log (deduped on
-                                 add with the commutative min-(hop,added)
-                                 merge — the outcome of dedupSpiderdbList,
-                                 Spider.cpp:3714-4021)
-- ``waiting``                  ↔ waiting tree: next eligible time per IP,
-                                 exactly one entry per IP, absent while the
-                                 IP has a URL in flight (doledb XOR waiting
-                                 invariant, SpiderColl.cpp:1160-1168)
-- ``schedule()``               ↔ populateDoledbFromWaitingTree +
-                                 scanListForWinners + launch gating
-                                 (SpiderColl.cpp:1812-3292,
-                                 SpiderLoop.cpp:943-1072)
-- ``complete()``               ↔ addSpiderReply: politeness clock + crawl
-                                 delay table updates and IP re-arm
-                                 (SpiderColl.cpp:612, 4098-4126)
-- ``urlseen``                  ↔ dup cache (SpiderColl.cpp:845-904) with
-                                 partitioned bloom segments
+- ``store``/``reps``            ↔ spiderdb request+reply log (deduped on
+                                  add with the commutative min-(hop,added)
+                                  merge — the outcome of dedupSpiderdbList,
+                                  Spider.cpp:3714-4021).  Requests and
+                                  replies live in structure-of-arrays
+                                  stores (numpy columns + a (uh48,srh)→row
+                                  index) so admission and filter
+                                  evaluation are vectorized gathers, not
+                                  per-row dict builds — the per-request
+                                  Python dicts were the #1 single-box
+                                  scaling cost (round-2 verdict).
+- ``waiting``                   ↔ waiting tree: next eligible time per IP,
+                                  exactly one entry per IP, absent while the
+                                  IP has a URL in flight (doledb XOR waiting
+                                  invariant, SpiderColl.cpp:1160-1168)
+- ``schedule()``                ↔ populateDoledbFromWaitingTree +
+                                  scanListForWinners + launch gating
+                                  (SpiderColl.cpp:1812-3292,
+                                  SpiderLoop.cpp:943-1072)
+- ``complete()``                ↔ addSpiderReply: politeness clock + crawl
+                                  delay table updates and IP re-arm
+                                  (SpiderColl.cpp:612, 4098-4126)
+- ``urlseen``                   ↔ dup cache (SpiderColl.cpp:845-904) with
+                                  partitioned bloom segments
 
 The class is deliberately Ray-free: the distributed engine wraps it in a
 ``@ray.remote`` actor (pipelines/crawl.py) and the sequential oracle
-(pipelines/oracle.py) drives the same code, so engine-vs-oracle equality
-tests isolate exactly the distributed machinery (shuffle, actor routing,
-parallel fetch).  All cross-partition merges are commutative, so
-route-back arrival order cannot change state.
+(pipelines/crawl.py _LocalCrawlCtx) drives the same code, so
+engine-vs-oracle equality tests isolate exactly the distributed machinery
+(shuffle, actor routing, parallel fetch).  All cross-partition merges are
+commutative, so route-back arrival order cannot change state.
 """
 
 from __future__ import annotations
@@ -47,7 +54,6 @@ from ..functions.schedule import (
     Rep,
     Req,
     adaptive_max_winners,
-    get_spider_time_ms,
     select_winners,
     spider_times_ms_vec,
 )
@@ -184,6 +190,212 @@ REPLY_COLS = (
 #: time, so a bounded window gives exactly-once without unbounded growth
 TOKEN_WINDOW = 4096
 
+# request flag bits (store.flags)
+RQ_INJ = 1
+RQ_ADDURL = 2
+RQ_REINDEX = 4
+RQ_FAKEIP = 8
+RQ_ROOT = 16
+RQ_RSSEXT = 32
+RQ_PERMFMT = 64
+RQ_WWW = 128
+
+# reply flag bits (reps.flags)
+RP_INDEXED = 1
+RP_RSS = 2
+RP_PERMALINK = 4
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+class _ReqStore:
+    """Columnar SpiderRequest storage: one row per live (uh48, srh)
+    request variant.  Numpy structure-of-arrays with doubling growth;
+    URL-derived columns (tld, sitelist membership/tag, www flag) are
+    computed ONCE at admission so the per-wave filter evaluation is pure
+    gathers (rows are rescanned every wave until launched — the
+    admission-time precompute amortizes across all rescans)."""
+
+    INT_COLS = (
+        ("uh48", np.uint64),
+        ("srh", np.uint64),
+        ("first_ip", np.int64),
+        ("dom_hash32", np.int64),
+        ("site_hash32", np.int64),
+        ("hop_count", np.int64),
+        ("added_time", np.int64),
+        ("discovery_time", np.int64),
+        ("flags", np.uint8),
+        ("inlink_cnt", np.int32),
+        ("rep_row", np.int64),
+    )
+    OBJ_COLS = ("url", "host", "tld", "site_tag")
+    BOOL_COLS = ("in_sitelist",)
+    _ALL = tuple(n for n, _ in INT_COLS) + OBJ_COLS + BOOL_COLS
+
+    def __init__(self, cap: int = 1024):
+        self.n = 0
+        for name, dt in self.INT_COLS:
+            setattr(self, name, np.zeros(cap, dtype=dt))
+        for name in self.OBJ_COLS:
+            setattr(self, name, np.empty(cap, dtype=object))
+        for name in self.BOOL_COLS:
+            setattr(self, name, np.zeros(cap, dtype=bool))
+
+    def _cap(self) -> int:
+        return len(self.uh48)
+
+    def reserve(self, extra: int) -> None:
+        need = self.n + extra
+        cap = self._cap()
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        for name in self._ALL:
+            a = getattr(self, name)
+            b = np.empty(cap, dtype=a.dtype) if a.dtype == object else np.zeros(cap, dtype=a.dtype)
+            b[: self.n] = a[: self.n]
+            setattr(self, name, b)
+
+    def append_block(self, cols: dict) -> int:
+        """Bulk-append rows from {col: array}; returns the first row id."""
+        k = len(cols["uh48"])
+        self.reserve(k)
+        n0 = self.n
+        for name, arr in cols.items():
+            getattr(self, name)[n0 : n0 + k] = arr
+        self.n += k
+        return n0
+
+    def state(self) -> dict:
+        return {name: getattr(self, name)[: self.n].copy() for name in self._ALL}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "_ReqStore":
+        n = len(st["uh48"])
+        s = cls(max(1024, n))
+        for name in cls._ALL:
+            getattr(s, name)[:n] = st[name]
+        s.n = n
+        return s
+
+
+class _RepStore:
+    """Columnar SpiderReply storage: at most one row per uh48 (the
+    newest reply wins, mirroring addSpiderReply)."""
+
+    INT_COLS = (
+        ("spidered_time", np.int64),
+        ("err_code", np.int64),
+        ("err_count", np.int64),
+        ("http_status", np.int64),
+        ("crawl_delay_ms", np.int64),
+        ("content_hash32", np.int64),
+        ("pub_date", np.int64),
+        ("flags", np.uint8),
+    )
+    FLT_COLS = (("pcpd", np.float64),)
+    OBJ_COLS = ("lang",)
+    _ALL = tuple(n for n, _ in INT_COLS) + tuple(n for n, _ in FLT_COLS) + OBJ_COLS
+
+    def __init__(self, cap: int = 1024):
+        self.n = 0
+        self.row_of: dict[int, int] = {}  # uh48 -> row
+        for name, dt in self.INT_COLS + self.FLT_COLS:
+            setattr(self, name, np.zeros(cap, dtype=dt))
+        for name in self.OBJ_COLS:
+            setattr(self, name, np.empty(cap, dtype=object))
+
+    def reserve(self, extra: int) -> None:
+        need = self.n + extra
+        cap = len(self.spidered_time)
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        for name in self._ALL:
+            a = getattr(self, name)
+            b = np.empty(cap, dtype=a.dtype) if a.dtype == object else np.zeros(cap, dtype=a.dtype)
+            b[: self.n] = a[: self.n]
+            setattr(self, name, b)
+
+    def new_row(self, u48: int) -> int:
+        self.reserve(1)
+        row = self.n
+        self.n += 1
+        self.row_of[u48] = row
+        return row
+
+    def set_row(self, row: int, rep: Rep) -> None:
+        self.spidered_time[row] = rep.spidered_time
+        self.err_code[row] = rep.err_code
+        self.err_count[row] = rep.err_count
+        self.http_status[row] = rep.http_status
+        self.crawl_delay_ms[row] = rep.crawl_delay_ms
+        self.content_hash32[row] = rep.content_hash32
+        self.pub_date[row] = rep.pub_date
+        self.pcpd[row] = rep.percent_changed_per_day
+        self.lang[row] = rep.lang
+        self.flags[row] = (
+            (RP_INDEXED if rep.is_indexed else 0)
+            | (RP_RSS if rep.is_rss else 0)
+            | (RP_PERMALINK if rep.is_permalink else 0)
+        )
+
+    def get_rep(self, u48: int) -> Rep | None:
+        row = self.row_of.get(u48)
+        if row is None:
+            return None
+        fl = int(self.flags[row])
+        return Rep(
+            uh48=u48,
+            spidered_time=int(self.spidered_time[row]),
+            err_code=int(self.err_code[row]),
+            err_count=int(self.err_count[row]),
+            http_status=int(self.http_status[row]),
+            crawl_delay_ms=int(self.crawl_delay_ms[row]),
+            content_hash32=int(self.content_hash32[row]),
+            lang=self.lang[row],
+            is_indexed=bool(fl & RP_INDEXED),
+            is_rss=bool(fl & RP_RSS),
+            is_permalink=bool(fl & RP_PERMALINK),
+            pub_date=int(self.pub_date[row]),
+            percent_changed_per_day=float(self.pcpd[row]),
+        )
+
+    def state(self) -> dict:
+        st = {name: getattr(self, name)[: self.n].copy() for name in self._ALL}
+        st["row_of"] = dict(self.row_of)
+        return st
+
+    @classmethod
+    def from_state(cls, st: dict) -> "_RepStore":
+        n = len(st["spidered_time"])
+        s = cls(max(1024, n))
+        for name in cls._ALL:
+            getattr(s, name)[:n] = st[name]
+        s.n = n
+        s.row_of = dict(st["row_of"])
+        return s
+
+
+class _LazyCols(dict):
+    """Candidate-column dict that materializes columns on first access.
+    ``FilterProgram.assign`` touches only the columns its rules
+    reference, so the common web profile never pays for quota/tag/lang
+    gathers (Spider.cpp's rule scan similarly reads only the fields the
+    expression names)."""
+
+    def __init__(self, providers: dict, eager: dict):
+        super().__init__(eager)
+        self._providers = providers
+
+    def __missing__(self, key):
+        v = self._providers[key]()
+        self[key] = v
+        return v
+
 
 class FrontierCore:
     def __init__(self, part_id: int, cfg: CrawlConfig, log_dir: str | None = None):
@@ -191,9 +403,11 @@ class FrontierCore:
         self.cfg = cfg
         self.prog = FilterProgram(cfg.filter_rules())
         self.site_list = SiteList(cfg.site_list)
-        # frontier log (deduped)
-        self.requests: dict[int, dict[int, dict]] = {}  # uh48 -> srh -> req fields
-        self.replies: dict[int, Rep] = {}
+        # frontier log (deduped, columnar)
+        self.store = _ReqStore()
+        self.reps = _RepStore()
+        self.row_of: dict[tuple, int] = {}  # (uh48, srh) -> store row
+        self.uh_rows: dict[int, int | list] = {}  # uh48 -> row | [rows]
         self.inlinks: dict[int, set] = {}  # uh48 -> parent c-blocks (SpiderColl.cpp:2701-2742)
         self.by_ip: dict[int, set] = {}  # ip -> pending uh48s
         self.deleted: set = set()
@@ -243,30 +457,48 @@ class FrontierCore:
             self.applied_tokens.pop(next(iter(self.applied_tokens)))
         return False
 
+    def _rows_list(self, rr) -> list:
+        return [rr] if isinstance(rr, int) else rr
+
     def add_requests(self, cols: dict, token=None) -> int:
         """Admit a batch of SpiderRequests (columnar dict of numpy arrays,
-        REQUEST_COLS).  Returns number admitted."""
+        REQUEST_COLS).  Returns number admitted.
+
+        The per-row Python work is only the dict/set bookkeeping
+        (row index, by_ip, waiting); all field storage is one bulk
+        columnar append, and the URL-derived predicate inputs (tld,
+        sitelist match, www) are computed here once per request
+        (reference computes the analogous flags when building the
+        SpiderRequest, XmlDoc.cpp:15360-15400)."""
         n = len(cols["uh48"])
         if n == 0 or self._apply_once(token):
             return 0
+        urls = np.asarray(cols["url"], dtype=object)
         if self.cfg.verify_integrity:
-            want = gbhash.uh48_batch(list(cols["url"]))
+            want = gbhash.uh48_batch(list(urls))
             got = np.asarray(cols["uh48"], dtype=np.uint64)
             if not (want == got).all():
                 bad = int(np.nonzero(want != got)[0][0])
                 raise RuntimeError(
                     f"request-cols corruption at actor-in(part {self.part_id}): "
-                    f"row {bad}/{n} url={cols['url'][bad]!r} "
+                    f"row {bad}/{n} url={urls[bad]!r} "
                     f"uh48={int(got[bad])} recomputed={int(want[bad])}"
                 )
-        uh = cols["uh48"].astype(np.uint64)
-        hop = cols["hop_count"].astype(np.int64)
-        added = cols["added_time"].astype(np.int64)
+        uh = np.asarray(cols["uh48"]).astype(np.uint64)
+        hop = np.asarray(cols["hop_count"]).astype(np.int64)
+        added = np.asarray(cols["added_time"]).astype(np.int64)
+        ips = np.asarray(cols["first_ip"]).astype(np.int64)
+        site32 = np.asarray(cols["site_hash32"]).astype(np.int64)
+        dom32 = np.asarray(cols["dom_hash32"]).astype(np.int64)
+        inj = np.asarray(cols["is_injecting"]).astype(bool)
+        addu = np.asarray(cols["is_addurl"]).astype(bool)
+        rei = np.asarray(cols["is_reindex"]).astype(bool)
+        fak = np.asarray(cols["fake_first_ip"]).astype(bool)
         salts = (
-            np.where(cols["is_injecting"], 0x42538909, 0)
-            ^ np.where(cols["is_addurl"], 0x587C5A0B, 0)
-            ^ np.where(cols["is_reindex"], 0x70FB3911, 0)
-            ^ np.where(cols["fake_first_ip"], 0x95B8D376, 0)
+            np.where(inj, 0x42538909, 0)
+            ^ np.where(addu, 0x587C5A0B, 0)
+            ^ np.where(rei, 0x70FB3911, 0)
+            ^ np.where(fak, 0x95B8D376, 0)
         ).astype(np.uint64)
         # dup-cache key (SpiderColl.cpp:872-889) + full hop + added_time so
         # that any two rows sharing a key are value-identical — admission
@@ -275,84 +507,189 @@ class FrontierCore:
         dup_key = (
             uh
             ^ salts
-            ^ (hop.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (hop.astype(np.uint64) * _GOLD)
             ^ (added.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
         )
         fresh = self.urlseen.test_and_add(dup_key)
         # inlink c-block counting sees every arriving request, admitted or
-        # not (commutative set union ⇒ deterministic under any ordering)
-        for i in range(n):
-            u48 = int(uh[i])
-            if u48 not in self.deleted:
-                self.inlinks.setdefault(u48, set()).add(int(cols["parent_ip"][i]) >> 8)
-        admitted = 0
-        for i in np.nonzero(fresh)[0]:
-            u48 = int(uh[i])
-            # NOTE: in-flight URLs are NOT checked here — admission must be
-            # independent of completion-arrival order within a wave; the
-            # scan skips in-flight uh48s instead.
+        # not (commutative set union ⇒ deterministic under any ordering);
+        # exact (uh48, c-block) pair dedup within the batch via lexsort so
+        # the Python loop runs once per distinct pair
+        par = np.asarray(cols["parent_ip"]).astype(np.int64) >> 8
+        if n > 1:
+            order = np.lexsort((par, uh))
+            su, sp = uh[order], par[order]
+            first = np.ones(n, dtype=bool)
+            first[1:] = (su[1:] != su[:-1]) | (sp[1:] != sp[:-1])
+            pair_idx = order[first]
+        else:
+            pair_idx = np.arange(n)
+        ul_pairs = uh[pair_idx].tolist()
+        pl_pairs = par[pair_idx].tolist()
+        inl = self.inlinks
+        for u48, cb in zip(ul_pairs, pl_pairs):
             if u48 in self.deleted:
                 continue
-            url = cols["url"][i]
-            ip = int(cols["first_ip"][i])
-            pend = self.by_ip.get(ip)
-            if (
-                pend is not None
-                and len(pend) >= self.cfg.overflow_cap
-                and u48 not in pend
-            ):
-                # hot-IP overflow: stop harvesting new URLs for this IP
-                self.metrics["overflow_dropped"] = self.metrics.get("overflow_dropped", 0) + 1
-                continue
-            req = {
-                "url": url,
-                "uh48": u48,
-                "first_ip": ip,
-                "host": cols["host"][i],
-                "dom_hash32": int(cols["dom_hash32"][i]),
-                "site_hash32": int(cols["site_hash32"][i]),
-                "hop_count": int(hop[i]),
-                "added_time": int(added[i]),
-                "is_injecting": bool(cols["is_injecting"][i]),
-                "is_addurl": bool(cols["is_addurl"][i]),
-                "is_reindex": bool(cols["is_reindex"][i]),
-                "fake_first_ip": bool(cols["fake_first_ip"][i]),
-                "discovery_time": int(added[i]),
-                # URL-derived predicate flags arrive precomputed in the
-                # request columns (see REQUEST_COLS note)
-                "is_root": bool(cols["is_root"][i]),
-                "is_rssext": bool(cols["is_rssext"][i]),
-                "is_permalink_format": bool(cols["is_permalink_format"][i]),
-            }
-            srh = int(salts[i] ^ np.uint64(req["site_hash32"] & 0xFFFFFFFF))
-            newly_seen = u48 not in self.requests
-            slot = self.requests.setdefault(u48, {})
-            prev = slot.get(srh)
-            if prev is None:
-                slot[srh] = req
+            s = inl.get(u48)
+            if s is None:
+                inl[u48] = {cb}
+                sz = 1
+            elif cb not in s:
+                s.add(cb)
+                sz = len(s)
             else:
-                prev["discovery_time"] = min(prev["discovery_time"], req["discovery_time"])
-                # keep min (hop, added) — dedupSpiderdbList outcome
-                if (req["hop_count"], req["added_time"]) < (
-                    prev["hop_count"],
-                    prev["added_time"],
-                ):
-                    req["discovery_time"] = prev["discovery_time"]
-                    slot[srh] = req
-                else:
-                    admitted += 1  # counted, but merged away
+                continue
+            if sz <= 255:
+                rr = self.uh_rows.get(u48)
+                if rr is not None:
+                    if isinstance(rr, int):
+                        self.store.inlink_cnt[rr] += 1
+                    else:
+                        for r in rr:
+                            self.store.inlink_cnt[r] += 1
+        fresh_idx = np.nonzero(fresh)[0]
+        admitted = 0
+        if len(fresh_idx):
+            srh_all = salts ^ (site32.astype(np.uint64) & np.uint64(0xFFFFFFFF))
+            # URL-derived columns for candidate evaluation, computed once
+            # per admitted request (amortized over every wave's rescan)
+            hosts_f = np.asarray(cols["host"], dtype=object)[fresh_idx]
+            urls_f = urls[fresh_idx]
+            nf = len(fresh_idx)
+            doms_f = np.array([get_domain(h) for h in hosts_f], dtype=object)
+            tld_f = np.array([d.rsplit(".", 1)[-1] for d in doms_f], dtype=object)
+            in_sl_f = self.site_list.matches_batch(urls_f, doms_f)
+            tag_f = self.site_list.tags_batch(urls_f, doms_f)
+            www_f = np.fromiter(
+                (u.startswith(("http://www", "https://www")) for u in urls_f), bool, nf
+            )
+            flags = (
+                np.where(inj, RQ_INJ, 0)
+                | np.where(addu, RQ_ADDURL, 0)
+                | np.where(rei, RQ_REINDEX, 0)
+                | np.where(fak, RQ_FAKEIP, 0)
+                | np.where(np.asarray(cols["is_root"]).astype(bool), RQ_ROOT, 0)
+                | np.where(np.asarray(cols["is_rssext"]).astype(bool), RQ_RSSEXT, 0)
+                | np.where(
+                    np.asarray(cols["is_permalink_format"]).astype(bool), RQ_PERMFMT, 0
+                )
+            ).astype(np.uint8)
+            flags_f = flags[fresh_idx] | np.where(www_f, np.uint8(RQ_WWW), np.uint8(0))
+            n0 = self.store.n
+            append_src: list[int] = []  # batch row index per new store row
+            append_fpos: list[int] = []  # position within fresh subset
+            # in-batch merges into not-yet-appended rows are tracked here
+            # as q -> [hop, added, disc] overrides applied at append time
+            pend_mod: dict[int, list] = {}
+            uh_l = uh[fresh_idx].tolist()
+            ip_l = ips[fresh_idx].tolist()
+            srh_l = srh_all[fresh_idx].tolist()
+            hop_l = hop[fresh_idx].tolist()
+            added_l = added[fresh_idx].tolist()
+            cap = self.cfg.overflow_cap
+            st = self.store
+            for j in range(nf):
+                u48 = uh_l[j]
+                if u48 in self.deleted:
                     continue
-            if newly_seen:
-                # URL-seen report entry: exactly once per uh48 (the first
-                # slot creation), streamed out like the launch log
-                self._seen_uh.append(u48)
-                self._seen_url.append(url)
-                if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
-                    self._flush_seen()
-            self.by_ip.setdefault(ip, set()).add(u48)
-            if self.in_flight_ip.get(ip, 0) == 0:
-                self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
-            admitted += 1
+                ip = ip_l[j]
+                pend = self.by_ip.get(ip)
+                if pend is not None and len(pend) >= cap and u48 not in pend:
+                    # hot-IP overflow: stop harvesting new URLs for this IP
+                    self.metrics["overflow_dropped"] = self.metrics.get("overflow_dropped", 0) + 1
+                    continue
+                key = (u48, srh_l[j])
+                row = self.row_of.get(key)
+                if row is None:
+                    newly_seen = u48 not in self.uh_rows
+                    row = n0 + len(append_src)
+                    self.row_of[key] = row
+                    cur = self.uh_rows.get(u48)
+                    if cur is None:
+                        self.uh_rows[u48] = row
+                    elif isinstance(cur, int):
+                        self.uh_rows[u48] = [cur, row]
+                    else:
+                        cur.append(row)
+                    append_src.append(int(fresh_idx[j]))
+                    append_fpos.append(j)
+                    if newly_seen:
+                        # URL-seen report entry: exactly once per uh48 (the
+                        # first slot creation), streamed out like the launch log
+                        self._seen_uh.append(u48)
+                        self._seen_url.append(urls_f[j])
+                        if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
+                            self._flush_seen()
+                elif row >= n0:
+                    # merge into a row created earlier in THIS batch
+                    q = row - n0
+                    v = pend_mod.get(q)
+                    if v is None:
+                        i0 = append_fpos[q]
+                        v = [hop_l[i0], added_l[i0], added_l[i0]]
+                        pend_mod[q] = v
+                    v[2] = min(v[2], added_l[j])
+                    # keep min (hop, added) — dedupSpiderdbList outcome
+                    if (hop_l[j], added_l[j]) >= (v[0], v[1]):
+                        admitted += 1  # counted, but merged away
+                        continue
+                    v[0], v[1] = hop_l[j], added_l[j]
+                else:
+                    st.discovery_time[row] = min(int(st.discovery_time[row]), added_l[j])
+                    if (hop_l[j], added_l[j]) >= (
+                        int(st.hop_count[row]),
+                        int(st.added_time[row]),
+                    ):
+                        admitted += 1  # counted, but merged away
+                        continue
+                    st.hop_count[row] = hop_l[j]
+                    st.added_time[row] = added_l[j]
+                if pend is None:
+                    self.by_ip[ip] = {u48}
+                else:
+                    pend.add(u48)
+                if self.in_flight_ip.get(ip, 0) == 0:
+                    self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
+                admitted += 1
+            if append_src:
+                idx = np.array(append_src, dtype=np.int64)
+                fpos = np.array(append_fpos, dtype=np.int64)
+                hop_new = hop[idx]
+                added_new = added[idx]
+                disc_new = added[idx].copy()
+                for q, v in pend_mod.items():
+                    hop_new[q], added_new[q], disc_new[q] = v
+                uh_new = uh[idx]
+                inl_cnt = np.fromiter(
+                    (min(len(inl.get(u, ())), 255) for u in uh_new.tolist()),
+                    np.int32,
+                    len(idx),
+                )
+                rep_row = np.fromiter(
+                    (self.reps.row_of.get(u, -1) for u in uh_new.tolist()),
+                    np.int64,
+                    len(idx),
+                )
+                self.store.append_block(
+                    {
+                        "uh48": uh_new,
+                        "srh": srh_all[idx],
+                        "first_ip": ips[idx],
+                        "dom_hash32": dom32[idx],
+                        "site_hash32": site32[idx],
+                        "hop_count": hop_new,
+                        "added_time": added_new,
+                        "discovery_time": disc_new,
+                        "flags": flags_f[fpos],
+                        "inlink_cnt": inl_cnt,
+                        "rep_row": rep_row,
+                        "url": urls[idx],
+                        "host": np.asarray(cols["host"], dtype=object)[idx],
+                        "tld": tld_f[fpos],
+                        "site_tag": tag_f[fpos],
+                        "in_sitelist": in_sl_f[fpos],
+                    }
+                )
         self.metrics["added"] += admitted
         self.metrics["dup_dropped"] += int(n - fresh.sum())
         return admitted
@@ -362,102 +699,151 @@ class FrontierCore:
     def next_event_ms(self) -> int:
         return min(self.waiting.values(), default=INF)
 
-    def _candidates_for_ip(self, ip: int):
+    def _candidate_rows(self, ip: int) -> list:
         pend = self.by_ip.get(ip)
         if not pend:
             return []
-        out = []
+        out: list = []
         for u48 in pend:
             if u48 in self.in_flight_uh48 or u48 in self.deleted:
                 continue
-            slot = self.requests.get(u48)
-            if not slot:
+            rr = self.uh_rows.get(u48)
+            if rr is None:
                 continue
-            # evaluate each flag-variant request; they may map to
-            # different filter rows (Spider.cpp:3887-3890)
-            for req in slot.values():
-                out.append(req)
+            # each flag-variant request may map to a different filter row
+            # (Spider.cpp:3887-3890)
+            if isinstance(rr, int):
+                out.append(rr)
+            else:
+                out.extend(rr)
         return out
 
-    def _eval_filters(self, reqs: list, now_ms: int = 0):
-        n = len(reqs)
+    def _eval_filters(self, rows: np.ndarray, now_ms: int = 0):
+        """Candidate columns as lazy vectorized gathers over the columnar
+        stores + first-match rule assignment.  Only the columns the
+        compiled rule set (and the scheduler) actually touch are
+        materialized."""
+        st = self.store
+        rp = self.reps
+        n = len(rows)
         now_s = now_ms // 1000
-        c = {
-            "uh48": np.fromiter((r["uh48"] for r in reqs), np.uint64, n),
-            "url": np.array([r["url"] for r in reqs], dtype=object),
-            "hop_count": np.fromiter((r["hop_count"] for r in reqs), np.int32, n),
-            "added_time": np.fromiter((r["added_time"] for r in reqs), np.int64, n),
-            "is_injecting": np.fromiter((r["is_injecting"] for r in reqs), bool, n),
-            "is_reindex": np.fromiter((r["is_reindex"] for r in reqs), bool, n),
-            "is_addurl": np.fromiter((r["is_addurl"] for r in reqs), bool, n),
+        flags = st.flags[rows]
+        rep_r = st.rep_row[rows]
+        had = rep_r >= 0
+        rr = np.where(had, rep_r, 0)
+        any_rep = rp.n > 0 and bool(had.any())
+
+        def rep_col(name, default, dtype):
+            def f():
+                if not any_rep:
+                    return np.full(n, default, dtype=dtype)
+                return np.where(had, getattr(rp, name)[rr], default)
+
+            return f
+
+        def rep_flag(bit):
+            def f():
+                if not any_rep:
+                    return np.zeros(n, dtype=bool)
+                return had & ((rp.flags[rr] & bit) != 0)
+
+            return f
+
+        def lang_col():
+            if not any_rep:
+                return np.full(n, "en", dtype=object)
+            return np.where(had, rp.lang[rr], "en")
+
+        def age_col():
+            if not any_rep:
+                return np.full(n, -1, dtype=np.int64)
+            pub = np.where(had, rp.pub_date[rr], 0)
+            # pubdate age; <=0 pubdate is invalid and never matches
+            return np.where(pub > 0, now_s - pub, -1)
+
+        def spiderwaited_col():
+            return np.where(had, now_s - c["spidered_time"], 0)
+
+        def quota_col(table, keycol):
+            def f():
+                keys = getattr(st, keycol)[rows].tolist()
+                return np.fromiter((table.get(k, 0) for k in keys), np.int64, n)
+
+            return f
+
+        providers = {
+            "url": lambda: st.url[rows],
+            "hop_count": lambda: st.hop_count[rows],
+            "is_injecting": lambda: (flags & RQ_INJ) != 0,
+            "is_reindex": lambda: (flags & RQ_REINDEX) != 0,
+            "is_addurl": lambda: (flags & RQ_ADDURL) != 0,
+            "is_manualadd": lambda: c["is_addurl"] | c["is_injecting"],
+            "is_www": lambda: (flags & RQ_WWW) != 0,
+            "is_root": lambda: (flags & RQ_ROOT) != 0,
+            "is_rssext": lambda: (flags & RQ_RSSEXT) != 0,
+            "is_permalink_format": lambda: (flags & RQ_PERMFMT) != 0,
+            "fake_first_ip": lambda: (flags & RQ_FAKEIP) != 0,
+            "is_pingserver": lambda: np.zeros(n, dtype=bool),  # Url.cpp:2548
+            "has_authority_inlink": lambda: np.zeros(n, dtype=bool),
+            "authority_inlink_valid": lambda: np.zeros(n, dtype=bool),
+            "tld": lambda: st.tld[rows],
+            "in_sitelist": lambda: st.in_sitelist[rows],
+            "site_tag": lambda: st.site_tag[rows],
+            "num_inlinks": lambda: st.inlink_cnt[rows],
+            "spidered_time": rep_col("spidered_time", 0, np.int64),
+            "err_count": rep_col("err_count", 0, np.int64),
+            "err_code": rep_col("err_code", 0, np.int64),
+            "http_status": rep_col("http_status", 0, np.int64),
+            "percentchangedperday": rep_col("pcpd", 0.0, np.float64),
+            "is_indexed": rep_flag(RP_INDEXED),
+            "is_rss": rep_flag(RP_RSS),
+            "is_permalink": rep_flag(RP_PERMALINK),
+            "lang": lang_col,
+            "age": age_col,
+            "spiderwaited": spiderwaited_col,
+            # request age from discovery time (Spider.cpp:3252-3259;
+            # discovery is always initialized from added_time, so the
+            # reference's added_time fallback is structurally covered)
+            "url_age": lambda: now_s - st.discovery_time[rows],
+            "sitepages": quota_col(self.quota_site, "site_hash32"),
+            "domainpages": quota_col(self.quota_dom, "dom_hash32"),
         }
-        c["is_manualadd"] = c["is_addurl"] | c["is_injecting"]
-        c["is_www"] = np.fromiter((r["url"].startswith(("http://www", "https://www")) for r in reqs), bool, n)
-        doms = [get_domain(r["host"]) for r in reqs]
-        c["tld"] = np.array([d.rsplit(".", 1)[-1] for d in doms], dtype=object)
-        c["in_sitelist"] = self.site_list.matches_batch(c["url"], np.array(doms, dtype=object))
-        c["num_inlinks"] = np.fromiter(
-            (min(len(self.inlinks.get(r["uh48"], ())), 255) for r in reqs), np.int32, n
+        c = _LazyCols(
+            providers,
+            {
+                "uh48": st.uh48[rows],
+                "added_time": st.added_time[rows],
+                "had_reply": had,
+            },
         )
-        had, st, ec, code, http, lang, idx = [], [], [], [], [], [], []
-        rss, perm, pub, pcpd = [], [], [], []
-        for r in reqs:
-            rep = self.replies.get(r["uh48"])
-            had.append(rep is not None)
-            st.append(rep.spidered_time if rep else 0)
-            ec.append(rep.err_count if rep else 0)
-            code.append(rep.err_code if rep else 0)
-            http.append(rep.http_status if rep else 0)
-            lang.append(rep.lang if rep else "en")
-            idx.append(bool(rep.is_indexed) if rep else False)
-            rss.append(bool(rep.is_rss) if rep else False)
-            perm.append(bool(rep.is_permalink) if rep else False)
-            pub.append(rep.pub_date if rep else 0)
-            pcpd.append(rep.percent_changed_per_day if rep else 0.0)
-        c["had_reply"] = np.array(had)
-        c["spidered_time"] = np.array(st, dtype=np.int64)
-        c["err_count"] = np.array(ec, dtype=np.int32)
-        c["err_code"] = np.array(code, dtype=np.int32)
-        c["http_status"] = np.array(http, dtype=np.int32)
-        c["lang"] = np.array(lang, dtype=object)
-        c["is_indexed"] = np.array(idx)
-        c["is_rss"] = np.array(rss)
-        c["is_permalink"] = np.array(perm)
-        c["percentchangedperday"] = np.array(pcpd, dtype=np.float64)
-        pub_a = np.array(pub, dtype=np.int64)
-        # pubdate age; <=0 pubdate is invalid and never matches
-        c["age"] = np.where(pub_a > 0, now_s - pub_a, -1)
-        # request age from discovery time (Spider.cpp:3252-3259: falls
-        # back to added_time when discovery is unset)
-        disc = np.fromiter(
-            (r["discovery_time"] or r["added_time"] for r in reqs), np.int64, n
-        )
-        c["url_age"] = now_s - disc
-        c["spiderwaited"] = np.where(c["had_reply"], now_s - c["spidered_time"], 0)
-        # request-side URL-derived flags (stored at admission)
-        c["is_root"] = np.fromiter((r.get("is_root", False) for r in reqs), bool, n)
-        c["is_rssext"] = np.fromiter((r.get("is_rssext", False) for r in reqs), bool, n)
-        c["is_permalink_format"] = np.fromiter(
-            (r.get("is_permalink_format", False) for r in reqs), bool, n
-        )
-        c["is_pingserver"] = np.zeros(n, dtype=bool)  # Url.cpp:2548
-        c["fake_first_ip"] = np.fromiter((r["fake_first_ip"] for r in reqs), bool, n)
-        c["has_authority_inlink"] = np.zeros(n, dtype=bool)
-        c["authority_inlink_valid"] = np.zeros(n, dtype=bool)
-        # quota lookups (SpiderColl.cpp quotaTable by siteHash32/domHash32)
-        c["sitepages"] = np.fromiter(
-            (self.quota_site.get(r["site_hash32"], 0) for r in reqs), np.int64, n
-        )
-        c["domainpages"] = np.fromiter(
-            (self.quota_dom.get(r["dom_hash32"], 0) for r in reqs), np.int64, n
-        )
-        c["site_tag"] = self.site_list.tags_batch(c["url"], np.array(doms, dtype=object))
         return c, self.prog.assign(c)
 
     def _delete(self, u48: int):
         self.deleted.add(u48)
-        self.requests.pop(u48, None)
+        rr = self.uh_rows.pop(u48, None)
+        if rr is not None:
+            for row in self._rows_list(rr):
+                self.row_of.pop((u48, int(self.store.srh[row])), None)
         self.metrics["force_deleted"] += 1
+
+    def _req_obj(self, row: int) -> Req:
+        st = self.store
+        fl = int(st.flags[row])
+        return Req(
+            url=st.url[row],
+            uh48=int(st.uh48[row]),
+            first_ip=int(st.first_ip[row]),
+            host=st.host[row],
+            dom_hash32=int(st.dom_hash32[row]),
+            site_hash32=int(st.site_hash32[row]),
+            hop_count=int(st.hop_count[row]),
+            added_time=int(st.added_time[row]),
+            is_injecting=bool(fl & RQ_INJ),
+            is_addurl=bool(fl & RQ_ADDURL),
+            is_reindex=bool(fl & RQ_REINDEX),
+            fake_first_ip=bool(fl & RQ_FAKEIP),
+            discovery_time=int(st.discovery_time[row]),
+        )
 
     def schedule(self, now_ms: int, wave_no: int | None = None) -> pa.Table:
         """Scan every due IP; launch winners; re-arm or drop waiting
@@ -469,11 +855,10 @@ class FrontierCore:
         if wave_no is not None:
             self.wave = wave_no
         due_ips = sorted(ip for ip, t in self.waiting.items() if t <= now_ms)
-        rows: list = []
         budget_hit = (
             self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages
         )
-        # phase 1: gather candidates across ALL due IPs so filter
+        # phase 1: gather candidate rows across ALL due IPs so filter
         # evaluation and due-time computation run as single vectorized
         # passes (per-IP numpy setup dominated the scan otherwise)
         gather: list = []
@@ -482,24 +867,33 @@ class FrontierCore:
             if budget_hit:
                 del self.waiting[ip]
                 continue
-            reqs = self._candidates_for_ip(ip)
-            if not reqs:
+            rws = self._candidate_rows(ip)
+            if not rws:
                 del self.waiting[ip]
                 self.by_ip.pop(ip, None)
                 continue
-            spans.append((ip, len(gather), len(gather) + len(reqs)))
-            gather.extend(reqs)
+            spans.append((ip, len(gather), len(gather) + len(rws)))
+            gather.extend(rws)
+        st = self.store
+        rp = self.reps
+        # per-launch column accumulators (one numpy slice appended per
+        # span — the launch table is assembled columnar, never row dicts)
+        acc: dict[str, list] = {k: [] for k in (
+            "url", "uh48", "first_ip", "host", "dom_hash32", "hop_count",
+            "added_time", "priority", "ufn", "err_count", "launch_ms",
+        )}
+        n_launch = 0
         if gather:
-            c, ufn_all = self._eval_filters(gather, now_ms)
-            nall = len(gather)
+            rows = np.asarray(gather, dtype=np.int64)
+            nall = len(rows)
+            c, ufn_all = self._eval_filters(rows, now_ms)
             kmax = np.maximum(ufn_all, 0)
-            last_arr = np.fromiter(
-                (self.last_download.get(r["first_ip"], 0) for r in gather),
-                np.int64,
-                nall,
-            )
+            last_arr = np.empty(nall, dtype=np.int64)
+            for ip, s, e in spans:
+                last_arr[s:e] = self.last_download.get(ip, 0)
+            dom_all = st.dom_hash32[rows]
             cd_arr = np.fromiter(
-                (self.cd_table.get(r["dom_hash32"], -1) for r in gather), np.int64, nall
+                (self.cd_table.get(d, -1) for d in dom_all.tolist()), np.int64, nall
             )
             stimes_all = spider_times_ms_vec(
                 c["added_time"],
@@ -512,138 +906,208 @@ class FrontierCore:
                 c["spidered_time"],
             )
             forced = (ufn_all >= 0) & self.prog.force_delete[kmax]
+            # maxSpidersPerRule == 0 blocks launching entirely
+            # (populateDoledbFromWaitingTree skips such rules)
+            launchable = (
+                (~forced) & (ufn_all >= 0) & (self.prog.max_spiders_per_rule[kmax] > 0)
+            )
+            is_cand = launchable & (stimes_all <= now_ms)
+            fut_all = np.where(launchable & ~is_cand, stimes_all, INF)
+            uh_all = st.uh48[rows]
+            hop_all = st.hop_count[rows]
+            prio_all = self.prog.priority[kmax].astype(np.int64)
+            wk1_all = 255 - prio_all  # winner-key major component
         # phase 2: per-IP kill/winner/launch in due order (identical
         # semantics to the per-IP scan)
-        for ip, start, end in spans:
+        for ip, s, e in spans:
             if budget_hit:
                 del self.waiting[ip]
                 continue
-            reqs = gather[start:end]
-            ufn = ufn_all[start:end]
-            stimes = stimes_all[start:end]
-            killed = set()
-            for i in range(len(reqs)):
-                if forced[start + i]:
-                    killed.add(reqs[i]["uh48"])
-            for u48 in killed:
-                self._delete(u48)
-                self.by_ip.get(ip, set()).discard(u48)
-            min_future = INF
-            cands = []
-            for i, r in enumerate(reqs):
-                if r["uh48"] in killed or ufn[i] < 0:
-                    continue
-                # maxSpidersPerRule == 0 blocks launching entirely
-                # (populateDoledbFromWaitingTree skips such rules)
-                if self.prog.max_spiders_per_rule[ufn[i]] <= 0:
-                    continue
-                stime = int(stimes[i])
-                if stime <= now_ms:
-                    cands.append((r, int(ufn[i]), stime))
-                else:
-                    min_future = min(min_future, stime)
-            if not cands:
-                if min_future == INF:
+            span_uh = uh_all[s:e]
+            m = is_cand[s:e]
+            fu = fut_all[s:e]
+            f_idx = np.nonzero(forced[s:e])[0]
+            if len(f_idx):
+                killed = {int(u) for u in span_uh[f_idx]}
+                for u48 in killed:
+                    self._delete(u48)
+                    self.by_ip.get(ip, set()).discard(u48)
+                kmask = np.fromiter(
+                    (int(u) in killed for u in span_uh), bool, e - s
+                )
+                m = m & ~kmask
+                fu = np.where(kmask, INF, fu)
+            ci = np.nonzero(m)[0]
+            if len(ci) == 0:
+                mf = int(fu.min()) if e > s else INF
+                if mf >= INF:
                     del self.waiting[ip]
                 else:
-                    self.waiting[ip] = min_future  # re-arm (SpiderColl.cpp:3483-3487)
+                    self.waiting[ip] = mf  # re-arm (SpiderColl.cpp:3483-3487)
                 continue
-            # spiderdb scan order; the secondary keys give flag-variant
-            # requests of one uh48 a content-derived total order so
-            # select_winners tie-breaks are route-back-arrival-independent
-            cands.sort(
-                key=lambda t: (
-                    t[0]["uh48"],
-                    t[0]["is_injecting"],
-                    t[0]["is_addurl"],
-                    t[0]["is_reindex"],
-                    t[0]["fake_first_ip"],
-                    t[0]["site_hash32"],
-                )
-            )
             if self.cfg.adaptive_winner_caps:
-                scanned = sum(len(r["url"]) + 64 for r in reqs)
+                scanned = sum(len(u) + 64 for u in st.url[rows[s:e]])
                 max_w = adaptive_max_winners(scanned)
             else:
                 max_w = MAX_WINNER_NODES
-            winners = select_winners(
-                (
-                    (
-                        Req(
-                            url=r["url"],
-                            uh48=r["uh48"],
-                            first_ip=r["first_ip"],
-                            host=r["host"],
-                            dom_hash32=r["dom_hash32"],
-                            site_hash32=r["site_hash32"],
-                            hop_count=r["hop_count"],
-                            added_time=r["added_time"],
-                            is_injecting=r["is_injecting"],
-                            is_addurl=r["is_addurl"],
-                            is_reindex=r["is_reindex"],
-                            fake_first_ip=r["fake_first_ip"],
-                            discovery_time=r["discovery_time"],
-                        ),
-                        int(self.prog.priority[k]),
-                        stime,
+            cu = span_uh[ci]
+            uniq = len(ci) == 1 or len(np.unique(cu)) == len(ci)
+            if uniq and len(ci) <= max_w:
+                # fast path: unique uh48s and no winner-tree overflow ⇒
+                # select_winners degenerates to a sort by winner key
+                # (keys are unique because uh48 is the tiebreaker), with
+                # no merges/evictions — fully vectorized
+                if len(ci) > 1:
+                    hc = np.clip(hop_all[s:e][ci], 0, 0xFFFF)
+                    order = np.lexsort(
+                        (cu, stimes_all[s:e][ci], hc, wk1_all[s:e][ci])
                     )
-                    for (r, k, stime) in cands
-                ),
-                now_ms=now_ms,
-                max_winners=max_w,
-            )
-            ufn_by_uh = {r["uh48"]: k for (r, k, _) in cands}
-            # per-IP launch budget (SpiderLoop.cpp:943-1072): a known
-            # crawl-delay forces strictly one at a time; otherwise up to
-            # the rule's maxSpidersPerIp may be in flight with launches
-            # spaced sameIpWait apart — we chain as many as fit in the
-            # wave window
-            top_k = ufn_by_uh[winners[0].req.uh48]
-            gap = int(self.prog.same_ip_wait_ms[top_k])
-            has_cd = any(self.cd_table.get(r["dom_hash32"], -1) >= 0 for (r, _, _) in cands)
-            if has_cd:
-                allowed = 1
-            elif gap <= 0:
-                # no crawl-delay and no sameIpWait: the whole per-IP budget
-                # fits in any window (reference maxSpidersPerIp gating)
-                allowed = int(self.prog.max_spiders_per_ip[top_k])
-            else:
-                chain = 1 + self.cfg.wave_window_ms // gap
-                allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
-            for li, w in enumerate(winners[:allowed]):
-                r = w.req
-                k = ufn_by_uh[r.uh48]
-                rep = self.replies.get(r.uh48)
-                rows.append(
-                    {
-                        "url": r.url,
-                        "uh48": r.uh48,
-                        "first_ip": ip,
-                        "host": r.host,
-                        "dom_hash32": r.dom_hash32,
-                        "hop_count": r.hop_count,
-                        "added_time": r.added_time,
-                        "priority": w.priority,
-                        "ufn": k,
-                        "harvest_links": bool(self.prog.harvest_links[k]),
-                        "err_count": rep.err_count if rep else 0,
-                        "launch_ms": now_ms + li * gap,  # sameIpWait spacing
-                        "wave": self.wave,
-                        "part_id": self.part_id,
-                        "seq": self.seq,
-                    }
+                    ci = ci[order]
+                k_arr = ufn_all[s:e][ci]
+                top_k = int(k_arr[0])
+                gap = int(self.prog.same_ip_wait_ms[top_k])
+                has_cd = bool((cd_arr[s:e][ci] >= 0).any())
+                if has_cd:
+                    allowed = 1
+                elif gap <= 0:
+                    allowed = int(self.prog.max_spiders_per_ip[top_k])
+                else:
+                    chain = 1 + self.cfg.wave_window_ms // gap
+                    allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
+                take = ci[:allowed]
+                g = rows[s:e][take]
+                k_take = k_arr[:allowed]
+                nl = len(take)
+                acc["url"].append(st.url[g])
+                acc["uh48"].append(st.uh48[g])
+                acc["first_ip"].append(np.full(nl, ip, dtype=np.int64))
+                acc["host"].append(st.host[g])
+                acc["dom_hash32"].append(st.dom_hash32[g])
+                acc["hop_count"].append(st.hop_count[g])
+                acc["added_time"].append(st.added_time[g])
+                acc["priority"].append(prio_all[s:e][take])
+                acc["ufn"].append(k_take)
+                rrr = st.rep_row[g]
+                if rp.n:
+                    ec = np.where(rrr >= 0, rp.err_count[np.where(rrr >= 0, rrr, 0)], 0)
+                else:
+                    ec = np.zeros(nl, dtype=np.int64)
+                acc["err_count"].append(ec)
+                acc["launch_ms"].append(
+                    now_ms + np.arange(nl, dtype=np.int64) * gap  # sameIpWait spacing
                 )
-                self.seq += 1
-                self.in_flight_uh48.add(r.uh48)
-                self.in_flight_ip[ip] = self.in_flight_ip.get(ip, 0) + 1
-                self.metrics["launched"] += 1
-                if self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages:
-                    budget_hit = True
+                launched_uh = st.uh48[g].tolist()
+            else:
+                # exact path: duplicate uh48 flag-variants or winner-tree
+                # overflow — run the reference eviction algorithm on Req
+                # objects (SpiderColl::scanListForWinners)
+                cands = [
+                    (self._req_obj(int(rows[s + i])), int(ufn_all[s + i]), int(stimes_all[s + i]))
+                    for i in ci
+                ]
+                # spiderdb scan order; the secondary keys give flag-variant
+                # requests of one uh48 a content-derived total order so
+                # select_winners tie-breaks are route-back-arrival-independent
+                cands.sort(
+                    key=lambda t: (
+                        t[0].uh48,
+                        t[0].is_injecting,
+                        t[0].is_addurl,
+                        t[0].is_reindex,
+                        t[0].fake_first_ip,
+                        t[0].site_hash32,
+                    )
+                )
+                winners = select_winners(
+                    (
+                        (r, int(self.prog.priority[k]), stime)
+                        for (r, k, stime) in cands
+                    ),
+                    now_ms=now_ms,
+                    max_winners=max_w,
+                )
+                ufn_by_uh = {r.uh48: k for (r, k, _) in cands}
+                top_k = ufn_by_uh[winners[0].req.uh48]
+                gap = int(self.prog.same_ip_wait_ms[top_k])
+                has_cd = bool((cd_arr[s:e][ci] >= 0).any())
+                if has_cd:
+                    allowed = 1
+                elif gap <= 0:
+                    allowed = int(self.prog.max_spiders_per_ip[top_k])
+                else:
+                    chain = 1 + self.cfg.wave_window_ms // gap
+                    allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
+                ws = winners[:allowed]
+                nl = len(ws)
+                acc["url"].append(np.array([w.req.url for w in ws], dtype=object))
+                acc["uh48"].append(np.array([w.req.uh48 for w in ws], dtype=np.uint64))
+                acc["first_ip"].append(np.full(nl, ip, dtype=np.int64))
+                acc["host"].append(np.array([w.req.host for w in ws], dtype=object))
+                acc["dom_hash32"].append(
+                    np.array([w.req.dom_hash32 for w in ws], dtype=np.int64)
+                )
+                acc["hop_count"].append(
+                    np.array([w.req.hop_count for w in ws], dtype=np.int64)
+                )
+                acc["added_time"].append(
+                    np.array([w.req.added_time for w in ws], dtype=np.int64)
+                )
+                acc["priority"].append(
+                    np.array([w.priority for w in ws], dtype=np.int64)
+                )
+                k_take = np.array([ufn_by_uh[w.req.uh48] for w in ws], dtype=np.int64)
+                acc["ufn"].append(k_take)
+                ecs = []
+                for w in ws:
+                    rrow = rp.row_of.get(w.req.uh48)
+                    ecs.append(int(rp.err_count[rrow]) if rrow is not None else 0)
+                acc["err_count"].append(np.array(ecs, dtype=np.int64))
+                acc["launch_ms"].append(
+                    now_ms + np.arange(nl, dtype=np.int64) * gap
+                )
+                launched_uh = [w.req.uh48 for w in ws]
+            # per-IP launch budget bookkeeping (SpiderLoop.cpp:943-1072)
+            self.in_flight_uh48.update(launched_uh)
+            self.in_flight_ip[ip] = self.in_flight_ip.get(ip, 0) + nl
+            self.metrics["launched"] += nl
+            n_launch += nl
+            if self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages:
+                budget_hit = True
             del self.waiting[ip]  # doled XOR waiting
         self.wave += 1
-        if not rows:
+        if not n_launch:
             return LAUNCH_SCHEMA.empty_table()
-        t = pa.Table.from_pylist(rows, schema=LAUNCH_SCHEMA)
+        ufn_cat = np.concatenate(acc["ufn"])
+        seqs = np.arange(self.seq, self.seq + n_launch, dtype=np.int64)
+        self.seq += n_launch
+        t = pa.table(
+            {
+                "url": pa.array(np.concatenate(acc["url"]).tolist(), pa.string()),
+                "uh48": pa.array(np.concatenate(acc["uh48"]), pa.uint64()),
+                "first_ip": pa.array(np.concatenate(acc["first_ip"]), pa.int64()),
+                "host": pa.array(np.concatenate(acc["host"]).tolist(), pa.string()),
+                "dom_hash32": pa.array(np.concatenate(acc["dom_hash32"]), pa.int64()),
+                "hop_count": pa.array(
+                    np.concatenate(acc["hop_count"]).astype(np.int32), pa.int32()
+                ),
+                "added_time": pa.array(np.concatenate(acc["added_time"]), pa.int64()),
+                "priority": pa.array(
+                    np.concatenate(acc["priority"]).astype(np.int16), pa.int16()
+                ),
+                "ufn": pa.array(ufn_cat.astype(np.int32), pa.int32()),
+                "harvest_links": pa.array(self.prog.harvest_links[ufn_cat]),
+                "err_count": pa.array(
+                    np.concatenate(acc["err_count"]).astype(np.int32), pa.int32()
+                ),
+                "launch_ms": pa.array(np.concatenate(acc["launch_ms"]), pa.int64()),
+                "wave": pa.array(np.full(n_launch, self.wave - 1, dtype=np.int64)),
+                "part_id": pa.array(
+                    np.full(n_launch, self.part_id, dtype=np.int32), pa.int32()
+                ),
+                "seq": pa.array(seqs, pa.int64()),
+            },
+            schema=LAUNCH_SCHEMA,
+        )
         self._launch_buf.append(t)
         self._launch_buf_rows += t.num_rows
         if self.log_dir and self._launch_buf_rows >= self.cfg.log_flush_rows:
@@ -657,10 +1121,22 @@ class FrontierCore:
         n = len(cols["uh48"])
         if self._apply_once(token):
             return 0
+        uhs = np.asarray(cols["uh48"]).astype(np.uint64).tolist()
+        ips = np.asarray(cols["first_ip"]).astype(np.int64).tolist()
+        ends = np.asarray(cols["download_end_ms"]).astype(np.int64).tolist()
+        cds = np.asarray(cols["crawl_delay_ms"]).astype(np.int64).tolist()
+        errs = np.asarray(cols["err_code"]).astype(np.int64).tolist()
+        sts = np.asarray(cols["spidered_time"]).astype(np.int64).tolist()
+        chs = np.asarray(cols["content_hash32"]).astype(np.int64).tolist()
+        https = np.asarray(cols["http_status"]).astype(np.int64).tolist()
+        doms = np.asarray(cols["dom_hash32"]).astype(np.int64).tolist()
+        langs = list(cols["lang"])
+        st = self.store
+        rp = self.reps
         for i in range(n):
-            u48 = int(cols["uh48"][i])
-            ip = int(cols["first_ip"][i])
-            end_ms = int(cols["download_end_ms"][i])
+            u48 = uhs[i]
+            ip = ips[i]
+            end_ms = ends[i]
             self.in_flight_uh48.discard(u48)
             left = self.in_flight_ip.get(ip, 0) - 1
             if left > 0:
@@ -668,45 +1144,60 @@ class FrontierCore:
             else:
                 self.in_flight_ip.pop(ip, None)
             self.last_download[ip] = max(self.last_download.get(ip, 0), end_ms)
-            cd = int(cols["crawl_delay_ms"][i])
+            cd = cds[i]
             if cd >= 0:
-                self.cd_table[int(cols["dom_hash32"][i])] = cd
-            err = int(cols["err_code"][i])
-            prev = self.replies.get(u48)
-            slot = self.requests.get(u48)
-            any_req = next(iter(slot.values())) if slot else None
-            url = any_req["url"] if any_req else ""
+                self.cd_table[doms[i]] = cd
+            err = errs[i]
+            prow = rp.row_of.get(u48)
+            rqr = self.uh_rows.get(u48)
+            if rqr is not None:
+                r0 = rqr if isinstance(rqr, int) else rqr[0]
+                url = st.url[r0]
+            else:
+                r0 = None
+                url = ""
             # percentChangedPerDay (Spider.h:790): content-hash delta
             # between the last two spiderings / elapsed days
             pcpd = 0.0
-            st_new = int(cols["spidered_time"][i])
-            ch_new = int(cols["content_hash32"][i])
-            if prev is not None and prev.is_indexed and err == 0 and st_new > prev.spidered_time:
-                days = (st_new - prev.spidered_time) / 86400.0
-                changed = 0.0 if ch_new == prev.content_hash32 else 100.0
-                pcpd = changed / days if days > 0 else 0.0
+            st_new = sts[i]
+            ch_new = chs[i]
+            if prow is not None:
+                prev_st = int(rp.spidered_time[prow])
+                prev_indexed = bool(rp.flags[prow] & RP_INDEXED)
+                prev_errcnt = int(rp.err_count[prow])
+                prev_ch = int(rp.content_hash32[prow])
+                if prev_indexed and err == 0 and st_new > prev_st:
+                    days = (st_new - prev_st) / 86400.0
+                    changed = 0.0 if ch_new == prev_ch else 100.0
+                    pcpd = changed / days if days > 0 else 0.0
             rep = Rep(
                 uh48=u48,
                 spidered_time=st_new,
                 err_code=err,
-                err_count=(prev.err_count + 1 if prev else 1) if err else 0,
-                http_status=int(cols["http_status"][i]),
+                err_count=(prev_errcnt + 1 if prow is not None else 1) if err else 0,
+                http_status=https[i],
                 crawl_delay_ms=cd,
                 content_hash32=ch_new,
-                lang=cols["lang"][i],
+                lang=langs[i],
                 is_indexed=err == 0,
                 is_rss=url_is_rssext(url) if url else False,
                 is_permalink=url_is_permalink_format(url) if url else False,
                 percent_changed_per_day=pcpd,
             )
-            if prev is None or rep.spidered_time >= prev.spidered_time:
-                self.replies[u48] = rep
+            if prow is None:
+                prow = rp.new_row(u48)
+                rp.set_row(prow, rep)
+                if rqr is not None:
+                    for r in self._rows_list(rqr):
+                        st.rep_row[r] = prow
+            elif rep.spidered_time >= int(rp.spidered_time[prow]):
+                rp.set_row(prow, rep)
             # quota counting: one vote per uh48 once indexed
             # (SpiderColl.cpp:2776-2798)
-            if rep.is_indexed and any_req is not None and u48 not in self.quota_counted:
+            if rep.is_indexed and r0 is not None and u48 not in self.quota_counted:
                 self.quota_counted.add(u48)
-                s32 = any_req["site_hash32"]
-                d32 = any_req["dom_hash32"]
+                s32 = int(st.site_hash32[r0])
+                d32 = int(st.dom_hash32[r0])
                 self.quota_site[s32] = self.quota_site.get(s32, 0) + 1
                 self.quota_dom[d32] = self.quota_dom.get(d32, 0) + 1
             if left <= 0:
@@ -715,6 +1206,23 @@ class FrontierCore:
             if err:
                 self.metrics["errors"] += 1
         return n
+
+    def apply_reply_newest(self, rep: Rep) -> None:
+        """Store a reply record with newest-wins semantics (the
+        commutative form of complete()'s reply application) WITHOUT the
+        politeness/in-flight side effects — used by cold-start log
+        replays (pipelines/compact.py)."""
+        rp = self.reps
+        prow = rp.row_of.get(rep.uh48)
+        if prow is None:
+            prow = rp.new_row(rep.uh48)
+            rp.set_row(prow, rep)
+            rqr = self.uh_rows.get(rep.uh48)
+            if rqr is not None:
+                for r in self._rows_list(rqr):
+                    self.store.rep_row[r] = prow
+        elif rep.spidered_time >= int(rp.spidered_time[prow]):
+            rp.set_row(prow, rep)
 
     # -- durable log segments ---------------------------------------------
 
@@ -786,9 +1294,17 @@ class FrontierCore:
         return sorted(pairs)
 
     def fetch_log(self) -> list:
+        rp = self.reps
         return sorted(
-            (u, r.spidered_time, r.http_status, r.err_code, r.err_count, r.crawl_delay_ms)
-            for u, r in self.replies.items()
+            (
+                u,
+                int(rp.spidered_time[r]),
+                int(rp.http_status[r]),
+                int(rp.err_code[r]),
+                int(rp.err_count[r]),
+                int(rp.crawl_delay_ms[r]),
+            )
+            for u, r in rp.row_of.items()
         )
 
     def recount_quotas(self) -> None:
@@ -798,14 +1314,17 @@ class FrontierCore:
         self.quota_site = {}
         self.quota_dom = {}
         self.quota_counted = set()
-        for u48, rep in self.replies.items():
-            slot = self.requests.get(u48)
-            if not rep.is_indexed or not slot:
+        st = self.store
+        for u48, row in self.reps.row_of.items():
+            if not (self.reps.flags[row] & RP_INDEXED):
                 continue
-            any_req = next(iter(slot.values()))
+            rqr = self.uh_rows.get(u48)
+            if rqr is None:
+                continue
+            r0 = rqr if isinstance(rqr, int) else rqr[0]
             self.quota_counted.add(u48)
-            s32 = any_req["site_hash32"]
-            d32 = any_req["dom_hash32"]
+            s32 = int(st.site_hash32[r0])
+            d32 = int(st.dom_hash32[r0])
             self.quota_site[s32] = self.quota_site.get(s32, 0) + 1
             self.quota_dom[d32] = self.quota_dom.get(d32, 0) + 1
 
@@ -824,8 +1343,10 @@ class FrontierCore:
             "part_id": self.part_id,
             "cfg": self.cfg,
             "log_dir": self.log_dir,
-            "requests": self.requests,
-            "replies": self.replies,
+            "store": self.store.state(),
+            "reps": self.reps.state(),
+            "row_of": self.row_of,
+            "uh_rows": self.uh_rows,
             "inlinks": self.inlinks,
             "by_ip": self.by_ip,
             "deleted": self.deleted,
@@ -856,8 +1377,8 @@ class FrontierCore:
         st = pickle.loads(blob)
         core = cls(st["part_id"], st["cfg"], log_dir=st["log_dir"])
         for k in (
-            "requests",
-            "replies",
+            "row_of",
+            "uh_rows",
             "inlinks",
             "by_ip",
             "deleted",
@@ -875,6 +1396,8 @@ class FrontierCore:
             "metrics",
         ):
             setattr(core, k, st[k])
+        core.store = _ReqStore.from_state(st["store"])
+        core.reps = _RepStore.from_state(st["reps"])
         core.urlseen = UrlSeen.from_state(st["urlseen"])
         core._launch_segs = st["launch_segs"]
         core._seen_segs = st["seen_segs"]

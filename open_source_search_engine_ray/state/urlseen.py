@@ -242,11 +242,15 @@ class UrlSeen:
         uniq, first_idx = np.unique(keys, return_index=True)
         new_uniq = self.bloom.test_and_add(uniq)
         if self.exact is not None:
-            # bloom says "maybe seen" → consult the exact set
+            # bloom says "maybe seen" → consult the exact set.  tolist()
+            # converts to native ints in one C pass — the per-key int()
+            # genexpr here was ~half the admission cost at 150k hosts
+            ul = uniq.tolist()
+            ex = self.exact
             for i in np.nonzero(~new_uniq)[0]:
-                if int(uniq[i]) not in self.exact:
+                if ul[i] not in ex:
                     new_uniq[i] = True
-            self.exact.update(int(k) for k in uniq)
+            ex.update(ul)
         elif self.cuckoo is not None:
             # cuckoo is authoritative where the bloom says "maybe seen"
             # (this is where a deleted key resurrects as new)
