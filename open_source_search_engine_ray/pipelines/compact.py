@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.schedule import Rep, Req, dedup_frontier
+from ..functions.schedule import Rep, Req
 from ..state.frontier import CrawlConfig, FrontierCore
 
 N_BUCKETS = 256
@@ -55,6 +55,7 @@ LOG_COLUMNS = [
     "err_count",
     "http_status",
     "crawl_delay_ms",
+    "content_hash32",
 ]
 
 
@@ -67,6 +68,7 @@ def _row_to_rec(r: dict):
             err_count=int(r["err_count"]),
             http_status=int(r["http_status"]),
             crawl_delay_ms=int(r["crawl_delay_ms"]),
+            content_hash32=int(r.get("content_hash32", 0) or 0),
             is_indexed=int(r["err_code"]) == 0,  # mirrors complete()
         )
     return Req(
@@ -95,6 +97,7 @@ def _rec_to_row(x) -> dict:
             "err_count": x.err_count,
             "http_status": x.http_status,
             "crawl_delay_ms": x.crawl_delay_ms,
+            "content_hash32": x.content_hash32,
             "url": "",
             "first_ip": 0,
             "host": "",
@@ -116,6 +119,7 @@ def _rec_to_row(x) -> dict:
         "err_count": 0,
         "http_status": 0,
         "crawl_delay_ms": -1,
+        "content_hash32": 0,
         "url": x.url,
         "first_ip": x.first_ip,
         "host": x.host,
@@ -131,20 +135,99 @@ def _rec_to_row(x) -> dict:
     }
 
 
+_SRH_SALTS = (
+    ("is_injecting", 0x42538909),
+    ("is_addurl", 0x587C5A0B),
+    ("is_reindex", 0x70FB3911),
+    ("fake_first_ip", 0x95B8D376),
+)
+
+
 def dedup_log_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Exact dedupSpiderdbList semantics for one uh48-hash bucket."""
-    out_frames = []
-    # sort: (uh48, replies-before-requests, spidered desc stable-ish) —
-    # the spiderdb key order the reference scan sees
-    g = g.assign(_is_req=(g["rec"] == "request").astype(int))
-    g = g.sort_values(["uh48", "_is_req", "spidered_time", "added_time"], kind="stable")
-    recs = [_row_to_rec(r) for r in g.to_dict("records")]
-    kept = dedup_frontier(recs)
-    if kept:
-        out_frames.append(pd.DataFrame([_rec_to_row(x) for x in kept]))
-    if not out_frames:
+    """Exact dedupSpiderdbList semantics for one uh48-hash bucket,
+    as columnar numpy group ops (no per-row dataclasses — the sequential
+    ``dedup_frontier`` reduce is kept in functions/schedule.py as the
+    semantic oracle the tests compare against).
+
+    Per uh48 in spiderdb key order (replies before requests,
+    Spider.h:399-416): keep the newest reply (first in scan order wins
+    ties); drop reindex/fake-first-ip requests superseded by a newer
+    reply; keep per (uh48, srh) the request minimizing
+    (hop, added_time, scan pos).  Survivors keep their scan order,
+    matching the sequential reduce.
+
+    Everything runs on extracted numpy key columns with ONE final
+    frame-level take — pandas sort/reset_index on the full 20-column
+    frame triggers block consolidation copies that dominated runtime.
+    """
+    n = len(g)
+    if n == 0:
         return pd.DataFrame(columns=LOG_COLUMNS)
-    return pd.concat(out_frames, ignore_index=True)[LOG_COLUMNS]
+    uh = g["uh48"].to_numpy().astype(np.uint64)
+    is_req = (g["rec"].to_numpy() == "request")
+    spid = g["spidered_time"].to_numpy().astype(np.int64)
+    added = g["added_time"].to_numpy().astype(np.int64)
+    hop = g["hop_count"].to_numpy().astype(np.int64)
+    srh = g["site_hash32"].to_numpy().astype(np.int64)
+    for col, salt in _SRH_SALTS:
+        srh = np.where(g[col].to_numpy().astype(bool), srh ^ salt, srh)
+    srh &= 0xFFFFFFFF
+    sup_flag = g["is_reindex"].to_numpy().astype(bool) | g[
+        "fake_first_ip"
+    ].to_numpy().astype(bool)
+
+    # scan order = spiderdb key order (stable lexsort: last key primary)
+    perm = np.lexsort((added, spid, is_req, uh))
+    uh_s = uh[perm]
+    req_s = is_req[perm]
+    spid_s = spid[perm]
+    keep = np.zeros(n, dtype=bool)  # in scan (permuted) space
+
+    rep_pos = np.nonzero(~req_s)[0]
+    if rep_pos.size:
+        ruh, rst = uh_s[rep_pos], spid_s[rep_pos]
+        new = np.empty(rep_pos.size, dtype=bool)
+        new[0] = True
+        new[1:] = ruh[1:] != ruh[:-1]
+        # per-run max = last value (ascending); kept = FIRST row of the
+        # max-time tie tail (ties are contiguous, stable sort)
+        last = np.nonzero(np.append(new[1:], True))[0]
+        gid = np.cumsum(new) - 1
+        gmax = rst[last][gid]
+        cand = rst == gmax
+        first_cand = cand & (new | ~np.concatenate(([False], cand[:-1])))
+        keep[rep_pos[first_cand]] = True
+
+    req_pos = np.nonzero(req_s)[0]
+    if req_pos.size:
+        # newest kept reply per uh48 (sorted, unique) for the supersede
+        # rule: binary-search instead of a hash map
+        kept_rep = np.nonzero(keep)[0]
+        rep_uh, rep_t = uh_s[kept_rep], spid_s[kept_rep]
+        quh = uh_s[req_pos]
+        if rep_uh.size:
+            j = np.minimum(np.searchsorted(rep_uh, quh), rep_uh.size - 1)
+            sup_t = np.where(rep_uh[j] == quh, rep_t[j], np.int64(-1))
+        else:
+            sup_t = np.full(quh.size, -1, dtype=np.int64)
+        orig = perm[req_pos]
+        superseded = (sup_t > added[orig]) & sup_flag[orig]
+        live = req_pos[~superseded]
+        if live.size:
+            ol = perm[live]
+            # lexicographic min of (hop, added, scan-pos) per (uh48, srh):
+            # stable lexsort then first-per-group change detection
+            order = np.lexsort((added[ol], hop[ol], srh[ol], uh_s[live]))
+            luh, lsrh = uh_s[live][order], srh[ol][order]
+            first = np.empty(order.size, dtype=bool)
+            first[0] = True
+            first[1:] = (luh[1:] != luh[:-1]) | (lsrh[1:] != lsrh[:-1])
+            keep[live[order[first]]] = True
+
+    out_idx = perm[np.nonzero(keep)[0]]
+    if not out_idx.size:
+        return pd.DataFrame(columns=LOG_COLUMNS)
+    return g.iloc[out_idx][LOG_COLUMNS].reset_index(drop=True)
 
 
 def compact_frontier(log_ds):
@@ -200,10 +283,14 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
 
             cols.update(url_flag_columns(list(cols["url"])))
             core.add_requests(cols)
-        reps = g[g["rec"] == "reply"]
+        # replay replies in spidered_time order so the pairwise
+        # percentChangedPerDay derivation sees the same consecutive
+        # observations the live complete() path saw; newest-reply-wins
+        # keeps the final state commutative under block ordering
+        reps = g[g["rec"] == "reply"].sort_values(
+            ["uh48", "spidered_time"], kind="stable"
+        )
         for r in reps.to_dict("records"):
-            # newest-reply-wins, mirroring FrontierCore.complete — makes
-            # reply application commutative under any block/row ordering
             core.apply_reply_newest(_row_to_rec(r))
         # quota pre-count pass over the applied log (the reference's
         # m_countingPagesIndexed scan before winner selection)

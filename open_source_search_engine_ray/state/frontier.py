@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 import pickle
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import numpy as np
 import pyarrow as pa
@@ -187,7 +187,10 @@ REPLY_COLS = (
 
 
 #: retry-dedup tokens retained per actor; Ray task retries land close in
-#: time, so a bounded window gives exactly-once without unbounded growth
+#: time, so a bounded window gives exactly-once without unbounded growth.
+#: This is only the FLOOR: the live window grows with the observed
+#: per-wave token volume (see _apply_once) so a single big wave can
+#: never evict tokens a straggler retry might still re-send.
 TOKEN_WINDOW = 4096
 
 # request flag bits (store.flags)
@@ -436,8 +439,14 @@ class FrontierCore:
         self._seen_url: list[str] = []
         self._seen_segs: list[str] = []
         # idempotency: Ray task retries may re-send a batch (insertion-
-        # ordered dict = bounded FIFO window)
+        # ordered dict = bounded FIFO window).  The window is adaptive:
+        # it stays ≥4x the tokens applied in the current wave and ≥8x
+        # the biggest completed wave, so protocol bounds (tokens/wave =
+        # P partitions x chunks x 2) can never outgrow it and evict a
+        # token whose task could still be retried.
         self.applied_tokens: dict = {}
+        self._token_window = TOKEN_WINDOW
+        self._tokens_this_wave = 0
         self.seq = 0
         self.wave = 0
         self.metrics = {"added": 0, "dup_dropped": 0, "force_deleted": 0, "launched": 0, "completed": 0, "errors": 0}
@@ -453,7 +462,10 @@ class FrontierCore:
         if token in self.applied_tokens:
             return True
         self.applied_tokens[token] = None
-        if len(self.applied_tokens) > TOKEN_WINDOW:
+        self._tokens_this_wave += 1
+        if self._tokens_this_wave * 4 > self._token_window:
+            self._token_window = self._tokens_this_wave * 8
+        while len(self.applied_tokens) > self._token_window:
             self.applied_tokens.pop(next(iter(self.applied_tokens)))
         return False
 
@@ -854,6 +866,7 @@ class FrontierCore:
         partitions); defaults to the actor-local counter."""
         if wave_no is not None:
             self.wave = wave_no
+        self._tokens_this_wave = 0
         due_ips = sorted(ip for ip, t in self.waiting.items() if t <= now_ms)
         budget_hit = (
             self.cfg.max_pages and self.metrics["launched"] >= self.cfg.max_pages
@@ -1207,13 +1220,46 @@ class FrontierCore:
                 self.metrics["errors"] += 1
         return n
 
-    def apply_reply_newest(self, rep: Rep) -> None:
+    def apply_reply_newest(self, rep: Rep, derive: bool = True) -> None:
         """Store a reply record with newest-wins semantics (the
         commutative form of complete()'s reply application) WITHOUT the
         politeness/in-flight side effects — used by cold-start log
-        replays (pipelines/compact.py)."""
+        replays (pipelines/compact.py).
+
+        ``derive``: recompute the reply fields complete() derives live —
+        is_rss/is_permalink from the request URL, and
+        percentChangedPerDay from the previously applied reply (callers
+        replay the log in spidered_time order, so consecutive
+        applications see the same pairs the live path saw)."""
         rp = self.reps
         prow = rp.row_of.get(rep.uh48)
+        if derive:
+            rqr = self.uh_rows.get(rep.uh48)
+            url = ""
+            if rqr is not None:
+                r0 = rqr if isinstance(rqr, int) else rqr[0]
+                url = self.store.url[r0]
+            pcpd = 0.0
+            if prow is not None:
+                prev_st = int(rp.spidered_time[prow])
+                if (
+                    bool(rp.flags[prow] & RP_INDEXED)
+                    and rep.err_code == 0
+                    and rep.spidered_time > prev_st
+                ):
+                    days = (rep.spidered_time - prev_st) / 86400.0
+                    changed = (
+                        0.0
+                        if rep.content_hash32 == int(rp.content_hash32[prow])
+                        else 100.0
+                    )
+                    pcpd = changed / days if days > 0 else 0.0
+            rep = replace(
+                rep,
+                is_rss=url_is_rssext(url) if url else False,
+                is_permalink=url_is_permalink_format(url) if url else False,
+                percent_changed_per_day=pcpd,
+            )
         if prow is None:
             prow = rp.new_row(rep.uh48)
             rp.set_row(prow, rep)
@@ -1396,6 +1442,7 @@ class FrontierCore:
             "metrics",
         ):
             setattr(core, k, st[k])
+        core._token_window = max(TOKEN_WINDOW, 2 * len(core.applied_tokens))
         core.store = _ReqStore.from_state(st["store"])
         core.reps = _RepStore.from_state(st["reps"])
         core.urlseen = UrlSeen.from_state(st["urlseen"])

@@ -68,6 +68,72 @@ def _key_set(items):
     return out
 
 
+def _adversarial_fixture(n, seed):
+    """Records exercising every dedup rule: flag-salted srh variants,
+    reindex/fake-first-ip supersede, (hop, added, scan-pos) ties."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    reqs, reps = [], []
+    for _ in range(n):
+        uh = int(rng.integers(1, 80))
+        reqs.append(
+            Req(
+                url=f"http://h{uh % 7}.test/p{uh}.html",
+                uh48=uh,
+                first_ip=100 + uh % 7,
+                host=f"h{uh % 7}.test",
+                dom_hash32=uh % 7,
+                site_hash32=int(rng.integers(1, 4)),
+                hop_count=int(rng.integers(0, 4)),
+                added_time=int(rng.integers(1, 500)),
+                is_injecting=bool(rng.random() < 0.1),
+                is_addurl=bool(rng.random() < 0.1),
+                is_reindex=bool(rng.random() < 0.2),
+                fake_first_ip=bool(rng.random() < 0.2),
+            )
+        )
+        if rng.random() < 0.5:
+            reps.append(
+                Rep(
+                    uh48=uh,
+                    spidered_time=int(rng.integers(1, 600)),
+                    err_code=int(rng.integers(0, 2)),
+                    err_count=0,
+                    http_status=200,
+                    crawl_delay_ms=-1,
+                    content_hash32=int(rng.integers(0, 5)),
+                )
+            )
+    return reqs, reps
+
+
+def test_dedup_log_group_exact_vs_sequential_reduce():
+    """The vectorized columnar dedup must emit the SAME rows in the SAME
+    order as the sequential dedup_frontier reduce (the semantic oracle),
+    across adversarial flag/tie/supersede fixtures."""
+    from open_source_search_engine_ray.pipelines.compact import (
+        LOG_COLUMNS,
+        _rec_to_row,
+    )
+
+    for seed in range(6):
+        reqs, reps = _adversarial_fixture(500, seed)
+        t = frontier_records_table(reqs, reps)
+        got = dedup_log_group(t.to_pandas()).reset_index(drop=True)
+        recs = sorted(
+            reps + reqs,
+            key=lambda r: (
+                r.uh48,
+                isinstance(r, Req),
+                r.spidered_time if isinstance(r, Rep) else 0,
+                r.added_time if isinstance(r, Req) else 0,
+            ),
+        )
+        want = pd.DataFrame([_rec_to_row(x) for x in dedup_frontier(recs)])[
+            LOG_COLUMNS
+        ].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
 def test_dedup_log_group_matches_sequential():
     reqs, reps = _fixture_records()
     t = frontier_records_table(reqs, reps)
