@@ -270,12 +270,98 @@ SMALL_WAVE_ROWS = 1 << 20  # waves up to this size use chunked raw tasks;
 
 @dataclass
 class CrawlResult:
-    launch_log: pa.Table
-    url_seen: list
+    """Crawl outputs.  The full crawl history (launch log, URL-seen) lives
+    in per-partition parquet segments under ``out_dir/frontier`` — the
+    actors stream it there during the crawl, only hot scheduling state is
+    in actor RAM.  ``finalize()`` therefore returns HANDLES, not data:
+
+    * ``launch_log_ds()`` / ``url_seen_ds()`` — ``ray.data.read_parquet``
+      over the segment files; the 100-TB consumption path (streams,
+      never lands on the driver).
+    * ``launch_log`` / ``url_seen`` — driver-side materialized
+      properties (concat + global sort).  Test / small-crawl convenience
+      only; lazy and cached, so a caller that never touches them pays
+      nothing.
+
+    ``fetch_log`` is derived from the actors' hot latest-reply state
+    (bounded by what scheduling itself must hold), not from history
+    segments, so it stays an eager small list."""
+
     fetch_log: list
     metrics: dict
     docs_dir: str
     waves: int
+
+    @property
+    def frontier_dir(self) -> str:
+        return os.path.join(self.docs_dir, "frontier")
+
+    def _segment_paths(self, prefix: str) -> list:
+        paths = []
+        fdir = self.frontier_dir
+        if os.path.isdir(fdir):
+            for part in sorted(os.listdir(fdir)):
+                d = os.path.join(fdir, part)
+                if not os.path.isdir(d):
+                    continue
+                paths.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.startswith(prefix)
+                )
+        return paths
+
+    def launch_log_ds(self):
+        """Launch history as a streaming ``ray.data.Dataset`` (unsorted;
+        rows carry (wave, part_id, seq) for a downstream ``sort``)."""
+        import ray.data as rd
+
+        paths = self._segment_paths("launch-")
+        if not paths:
+            return rd.from_arrow(LAUNCH_SCHEMA.empty_table())
+        return rd.read_parquet(paths)
+
+    def url_seen_ds(self):
+        """URL-seen pairs (uh48, url) as a streaming ``ray.data.Dataset``."""
+        import ray.data as rd
+
+        paths = self._segment_paths("seen-")
+        if not paths:
+            return rd.from_arrow(
+                pa.table({"uh48": pa.array([], pa.uint64()), "url": pa.array([], pa.string())})
+            )
+        return rd.read_parquet(paths)
+
+    @property
+    def launch_log(self) -> pa.Table:
+        t = self.__dict__.get("_launch_log")
+        if t is None:
+            tbls = [pq.read_table(p) for p in self._segment_paths("launch-")]
+            t = pa.concat_tables(tbls) if tbls else LAUNCH_SCHEMA.empty_table()
+            if t.num_rows:
+                idx = pa.compute.sort_indices(
+                    t,
+                    sort_keys=[
+                        ("wave", "ascending"),
+                        ("part_id", "ascending"),
+                        ("seq", "ascending"),
+                    ],
+                )
+                t = t.take(idx)
+            self.__dict__["_launch_log"] = t
+        return t
+
+    @property
+    def url_seen(self) -> list:
+        pairs = self.__dict__.get("_url_seen")
+        if pairs is None:
+            pairs = []
+            for p in self._segment_paths("seen-"):
+                t = pq.read_table(p)
+                pairs.extend(zip(t["uh48"].to_pylist(), t["url"].to_pylist()))
+            pairs = sorted(pairs)
+            self.__dict__["_url_seen"] = pairs
+        return pairs
 
     def docs_table(self) -> pa.Table:
         import pyarrow.dataset as pads
@@ -289,43 +375,16 @@ class CrawlResult:
 
 
 def _merge_results(cores_data, out_dir, waves) -> CrawlResult:
-    """Collect the crawl outputs.  Launch log and URL-seen are read from
-    the per-partition parquet segments under out_dir/frontier (the actors
-    stream them there; only hot scheduling state lives in actor RAM —
-    at 100 TB the caller would consume these as a ray.data.read_parquet
-    over the directory instead of a driver-side table)."""
-    frontier_dir = os.path.join(out_dir, "frontier")
-    launch_tbls = []
-    seen_pairs: list = []
-    if os.path.isdir(frontier_dir):
-        for part in sorted(os.listdir(frontier_dir)):
-            d = os.path.join(frontier_dir, part)
-            if not os.path.isdir(d):
-                continue
-            for f in sorted(os.listdir(d)):
-                if f.startswith("launch-"):
-                    launch_tbls.append(pq.read_table(os.path.join(d, f)))
-                elif f.startswith("seen-"):
-                    t = pq.read_table(os.path.join(d, f))
-                    seen_pairs.extend(
-                        zip(t["uh48"].to_pylist(), t["url"].to_pylist())
-                    )
-    launch = (
-        pa.concat_tables(launch_tbls) if launch_tbls else LAUNCH_SCHEMA.empty_table()
-    )
-    if launch.num_rows:
-        idx = pa.compute.sort_indices(
-            launch,
-            sort_keys=[("wave", "ascending"), ("part_id", "ascending"), ("seq", "ascending")],
-        )
-        launch = launch.take(idx)
-    url_seen = sorted(seen_pairs)
+    """Collect the crawl outputs.  Only small per-core reductions (fetch
+    log from hot reply state, metric counters) are gathered; the launch /
+    URL-seen history stays in the parquet segments and is exposed through
+    the CrawlResult handles above."""
     fetch_log = sorted(x for d in cores_data for x in d["fetch_log"])
     metrics: dict = {}
     for d in cores_data:
         for k, v in d["metrics"].items():
             metrics[k] = metrics.get(k, 0) + v
-    return CrawlResult(launch, url_seen, fetch_log, metrics, out_dir, waves)
+    return CrawlResult(fetch_log, metrics, out_dir, waves)
 
 
 def seed_columns(web: SynthWeb, host_ip: dict):

@@ -64,6 +64,25 @@ def test_kill_resume_bloom_only_with_spill(tmp_path, ray_session):
     assert resumed.fetch_log == truth.fetch_log
 
 
+def test_finalize_returns_handles_not_history(tmp_path, ray_session):
+    """finalize() must not gather crawl history onto the driver: the
+    result carries no materialized launch/seen state until a property is
+    touched, and the streaming Dataset handles agree with the
+    materialized test views."""
+    res = run_crawl(WEB, CFG, str(tmp_path / "h"), engine="ray")
+    # scale contract: nothing cached before first property access
+    assert "_launch_log" not in res.__dict__ and "_url_seen" not in res.__dict__
+
+    ds = res.launch_log_ds()
+    got = ds.to_pandas().sort_values(["wave", "part_id", "seq"]).reset_index(drop=True)
+    want = res.launch_log.to_pandas().reset_index(drop=True)
+    assert got.equals(want) and len(want) > 20
+
+    seen_ds = res.url_seen_ds().to_pandas()
+    pairs = sorted(zip(seen_ds["uh48"], seen_ds["url"]))
+    assert pairs == res.url_seen
+
+
 def test_checkpoint_blob_excludes_history(tmp_path, ray_session):
     """Checkpoints carry hot state + segment manifest, not crawl
     history: a flushed core's blob holds zero buffered launch rows."""
