@@ -58,7 +58,13 @@ ERR_HTTP_404 = 3
 ERR_HTTP_500 = 4
 ERR_ROBOTS_DENIED = 5
 ERR_SIMPLIFIED_REDIR = 6  # reference EDOCSIMPLIFIEDREDIR (permanent)
-TMP_ERROR_CODES = frozenset({ERR_DNS, ERR_TCP_TIMEOUT})
+# real-socket fetch tier (stages/httpfetch.py) additions:
+ERR_NET_UNREACH = 7  # ENETUNREACH / EHOSTUNREACH / conn refused — tmp
+ERR_CONN_RESET = 8  # ECONNRESET — ban signal, NOT in the tmp set
+# (reference tmp set Spider.cpp:2333-2344: EDNSTIMEDOUT, ETCPTIMEDOUT,
+# EDNSDEAD, EBADIP, ENOMEM, ENETUNREACH, EHOSTUNREACH — ECONNRESET is
+# deliberately absent there; it feeds ipWasBanned instead)
+TMP_ERROR_CODES = frozenset({ERR_DNS, ERR_TCP_TIMEOUT, ERR_NET_UNREACH})
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,394 @@
+"""HttpFetchStage: the real-socket fetch tier (stdlib asyncio).
+
+Drop-in replacement for :class:`stages.fetch.FetchStage` with the same
+batch contract — input rows carry ``url / host / first_ip / launch_ms``,
+output appends the ``FETCH_OUT_FIELDS`` columns — but the download is a
+real HTTP GET over a TCP socket instead of the procedural SynthWeb.
+
+Reference semantics implemented here:
+
+* **Download path** — Msg13::getDoc (Msg13.cpp:125-765): robots.txt is
+  fetched first (cached per host, 24 h TTL, Msg13.cpp:477-494; robots
+  fetches skip the hammer check, ``m_skipHammerCheck``), then the body.
+* **Tmp-error taxonomy** — Spider.cpp:2333-2344: DNS failures map to
+  ``ERR_DNS`` (EDNSTIMEDOUT/EDNSDEAD), connect/read timeouts to
+  ``ERR_TCP_TIMEOUT`` (ETCPTIMEDOUT), refused/unreachable to
+  ``ERR_NET_UNREACH`` (ENETUNREACH/EHOSTUNREACH) — all members of
+  ``urlfilter.TMP_ERROR_CODES`` so the ``hastmperror`` predicate and the
+  ``errorcount>=1 && hastmperror`` reschedule rules fire.  Connection
+  resets map to ``ERR_CONN_RESET`` which is NOT a tmp error: the
+  reference feeds it to the ban heuristic instead (ipWasBanned,
+  Msg13.cpp:966-977).
+* **Hammer queue** — addToHammerQueue / scanHammerQueue
+  (Msg13.cpp:1998-2137): one download per first-IP at a time when a
+  crawl-delay is set; a queued request is re-evaluated every 10 ms
+  (HAMMER_SCAN_MS) until ``now - lastDownloadStart >= crawlDelayMS``.
+  The per-IP timestamp stores the download START time (0 while a
+  download is in flight; the end time instead when
+  ``crawl_delay_from_end`` is set — Msg13.cpp:1216-1227).
+* **Twitchy-IP backoff** — Msg13.cpp:416-436 + 1178-1206: a banned
+  reply (conn reset, empty reply, HTTP 403/999/503 — ipWasBanned,
+  Msg13.cpp:955-1018, never for robots.txt) adds the IP to the twitchy
+  table; the download is retried ONCE if the IP was not already twitchy
+  when it started (``m_wasInTableBeforeStarting``); requests to twitchy
+  IPs run with ``crawlDelayMS >= AUTOCRAWLDELAY`` (5000 ms,
+  Msg13.cpp:1995 + 2030-2041).
+
+The stage is a callable class for ``map_batches(Cls, concurrency=N)``:
+the event loop, robots cache, hammer clocks, and twitchy table live per
+actor.  At 100 TB the per-IP politeness state is correct because the
+frontier already partitions requests by first-IP (part_of_ip), so all
+URLs of an IP land on the same fetch batch stream.
+
+Gzip ``Content-Encoding`` is decompressed here (reference inflates in
+gotHttpReply2, Msg13.cpp:1920-2004); bodies are decoded to UTF-8 via the
+charset sniffing chain (functions/charset.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import gzip
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import urlfilter
+from ..functions.charset import to_utf8
+from ..functions.robots import parse_robots
+from ..functions.urlnorm import get_path_with_query
+
+HAMMER_SCAN_MS = 10  # scanHammerQueue re-scan cadence (Msg13.cpp:2137)
+AUTOCRAWLDELAY_MS = 5000  # Msg13.cpp:1995 (crawldelay once IP is twitchy)
+ROBOTS_TTL_S = 24 * 3600  # Msg13.cpp:477-494
+BAN_STATUSES = frozenset({403, 999, 503})  # ipWasBanned, Msg13.cpp:993-1007
+
+_CRLF = b"\r\n"
+
+
+class _FetchResult:
+    __slots__ = (
+        "http_status",
+        "err_code",
+        "body",
+        "content_type",
+        "location",
+        "banned",
+        "reset",
+    )
+
+    def __init__(self):
+        self.http_status = 0
+        self.err_code = urlfilter.ERR_NONE
+        self.body = b""
+        self.content_type = ""
+        self.location = ""
+        self.banned = False
+        self.reset = False
+
+
+def _split_host(url: str) -> tuple:
+    """(host, port, path_with_query) from an http URL."""
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    hostport = rest if slash < 0 else rest[:slash]
+    path = "/" if slash < 0 else rest[slash:]
+    if ":" in hostport and not hostport.startswith("["):
+        host, _, port = hostport.rpartition(":")
+        return host, int(port), path
+    return hostport, 80, path
+
+
+def _parse_response(raw: bytes) -> _FetchResult:
+    fr = _FetchResult()
+    head, sep, body = raw.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = raw.partition(b"\n\n")
+    lines = head.split(b"\n")
+    status_line = lines[0].strip()
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        fr.err_code = urlfilter.ERR_HTTP_500
+        return fr
+    try:
+        fr.http_status = int(parts[1])
+    except ValueError:
+        fr.err_code = urlfilter.ERR_HTTP_500
+        return fr
+    headers = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        headers[k.strip().lower()] = v.strip()
+    fr.content_type = headers.get(b"content-type", b"").decode("latin-1")
+    fr.location = headers.get(b"location", b"").decode("latin-1")
+    if headers.get(b"transfer-encoding", b"").lower() == b"chunked":
+        body = _dechunk(body)
+    enc = headers.get(b"content-encoding", b"").lower()
+    if enc == b"gzip":
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            fr.err_code = urlfilter.ERR_HTTP_500
+            return fr
+    elif enc == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    fr.body = body
+    return fr
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = []
+    pos = 0
+    while pos < len(body):
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        try:
+            size = int(body[pos:nl].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.append(body[nl + 2 : nl + 2 + size])
+        pos = nl + 2 + size + 2
+    return b"".join(out)
+
+
+class HttpFetchStage:
+    """Async real-socket fetch over a batch of launch rows.
+
+    ``resolve`` maps host -> (address, port) — the DNS seam.  In tests it
+    points every synthetic host at the localhost fixture server (the
+    reference's test/system httpserver pattern); in production it is a
+    real resolver (None = stdlib getaddrinfo on the URL's own host).
+    """
+
+    def __init__(
+        self,
+        user_agent: str = "gigablastbot",
+        resolve: dict | None = None,
+        connect_timeout_s: float = 5.0,
+        read_timeout_s: float = 10.0,
+        max_connections: int = 32,
+        auto_backoff: bool = True,
+        crawl_delay_from_end: bool = False,
+        auto_crawl_delay_ms: int = AUTOCRAWLDELAY_MS,
+    ):
+        self.ua = user_agent
+        self.resolve = resolve
+        self.connect_timeout_s = connect_timeout_s
+        self.read_timeout_s = read_timeout_s
+        self.auto_backoff = auto_backoff
+        self.crawl_delay_from_end = crawl_delay_from_end
+        self.auto_crawl_delay_ms = auto_crawl_delay_ms
+        self._loop = asyncio.new_event_loop()
+        self._sem = None  # created lazily inside the loop
+        self._max_connections = max_connections
+        # host -> (expiry_monotonic, RobotsPolicy)
+        self._robots_cache: dict = {}
+        # first_ip -> last download start ms (monotonic); 0 = in flight;
+        # absent = never downloaded (reference RdbCache miss = -1)
+        self._last_dl: dict = {}
+        self._twitchy: set = set()
+        self.fetch_count = 0  # downloads issued (incl. retries), tests
+
+    # -- low-level download -------------------------------------------
+
+    async def _download(self, url: str) -> _FetchResult:
+        fr = _FetchResult()
+        host, port, path = _split_host(url)
+        if self.resolve is not None:
+            target = self.resolve.get(host)
+            if target is None:
+                fr.err_code = urlfilter.ERR_DNS
+                return fr
+            addr, aport = target
+        else:
+            try:
+                infos = await self._loop.getaddrinfo(host, port)
+                addr, aport = infos[0][4][0], port
+            except OSError:
+                fr.err_code = urlfilter.ERR_DNS
+                return fr
+        self.fetch_count += 1
+        reader = writer = None
+        try:
+            reader, writer = await asyncio.wait_for(
+                asyncio.open_connection(addr, aport), self.connect_timeout_s
+            )
+            req = (
+                f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+                f"User-Agent: {self.ua}\r\nAccept-Encoding: gzip\r\n"
+                f"Connection: close\r\n\r\n"
+            )
+            writer.write(req.encode("latin-1"))
+            await writer.drain()
+            raw = await asyncio.wait_for(reader.read(-1), self.read_timeout_s)
+        except asyncio.TimeoutError:
+            fr.err_code = urlfilter.ERR_TCP_TIMEOUT
+            return fr
+        except ConnectionResetError:
+            # ban signal, not a tmp error (ipWasBanned, Msg13.cpp:966)
+            fr.err_code = urlfilter.ERR_CONN_RESET
+            fr.reset = True
+            fr.banned = True
+            return fr
+        except (ConnectionRefusedError, OSError):
+            fr.err_code = urlfilter.ERR_NET_UNREACH
+            return fr
+        finally:
+            if writer is not None:
+                writer.close()
+        if not raw:
+            # empty reply == closed socket on us (Msg13.cpp:985-989)
+            fr.err_code = urlfilter.ERR_HTTP_500
+            fr.banned = True
+            return fr
+        parsed = _parse_response(raw)
+        if parsed.http_status in BAN_STATUSES or parsed.reset:
+            parsed.banned = True
+        return parsed
+
+    # -- robots ---------------------------------------------------------
+
+    async def _robots(self, host: str, any_url: str):
+        now = time.monotonic()
+        hit = self._robots_cache.get(host)
+        if hit is not None and hit[0] > now:
+            return hit[1]
+        h, port, _ = _split_host(any_url)
+        scheme_host = f"http://{h}:{port}" if port != 80 else f"http://{h}"
+        fr = await self._download(f"{scheme_host}/robots.txt")
+        # non-200 (or error) robots = allow-all with no crawl-delay; the
+        # reply is cached either way (Msg13.cpp:477-494 cache semantics)
+        txt = ""
+        if fr.http_status == 200:
+            txt = to_utf8(fr.body, fr.content_type)
+        pol = parse_robots(txt, self.ua)
+        self._robots_cache[host] = (now + ROBOTS_TTL_S, pol)
+        return pol
+
+    # -- hammer queue ----------------------------------------------------
+
+    async def _hammer_wait(self, ip: int, cd_ms: int) -> None:
+        """Block until this IP may launch (addToHammerQueue semantics);
+        marks the IP in-flight on return."""
+        while True:
+            last = self._last_dl.get(ip)
+            now = time.monotonic() * 1000.0
+            if last is None:
+                break  # cache miss: first time, go (Msg13.cpp:2073)
+            if last == 0:
+                if cd_ms > 0:
+                    await asyncio.sleep(HAMMER_SCAN_MS / 1000.0)
+                    continue
+                break  # no delay configured: concurrent ok
+            if now - last >= cd_ms:
+                break
+            await asyncio.sleep(HAMMER_SCAN_MS / 1000.0)
+        # no await between the check above and this mark: atomic in the
+        # single-threaded loop, so two waiters cannot both pass
+        self._last_dl[ip] = 0
+
+    def _hammer_done(self, ip: int, start_ms: float) -> None:
+        self._last_dl[ip] = (
+            time.monotonic() * 1000.0 if self.crawl_delay_from_end else start_ms
+        )
+
+    # -- one launch row ---------------------------------------------------
+
+    async def _fetch_one(self, url: str, host: str, ip: int) -> tuple:
+        """Returns (_FetchResult, crawl_delay_ms, robots_allowed,
+        elapsed_ms)."""
+        t0 = time.monotonic()
+        async with self._sem:
+            pol = await self._robots(host, url)
+            cd = pol.crawl_delay_ms
+            if not pol.is_allowed(get_path_with_query(url)):
+                fr = _FetchResult()
+                fr.err_code = urlfilter.ERR_ROBOTS_DENIED
+                return fr, cd, False, (time.monotonic() - t0) * 1000.0
+            acd = self.auto_crawl_delay_ms
+            if ip in self._twitchy and (cd < 0 or cd < acd):
+                eff_cd = acd  # Msg13.cpp:2030-2041
+            else:
+                eff_cd = max(cd, 0)
+            was_twitchy = ip in self._twitchy  # m_wasInTableBeforeStarting
+            await self._hammer_wait(ip, eff_cd)
+            start_ms = time.monotonic() * 1000.0
+            fr = await self._download(url)
+            self._hammer_done(ip, start_ms)
+            if fr.banned and self.auto_backoff:
+                self._twitchy.add(ip)  # addIpToTwitchyTable
+                if not was_twitchy:
+                    # retry once with the new backoff (Msg13.cpp:1186-1206)
+                    await self._hammer_wait(ip, self.auto_crawl_delay_ms)
+                    start_ms = time.monotonic() * 1000.0
+                    fr = await self._download(url)
+                    self._hammer_done(ip, start_ms)
+        return fr, cd, True, (time.monotonic() - t0) * 1000.0
+
+    # -- batch contract ----------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        ips = (
+            batch["first_ip"].to_numpy()
+            if "first_ip" in batch.column_names
+            else np.array([hash(h) & 0x7FFFFFFF for h in hosts])
+        )
+        launch_ms = batch["launch_ms"].to_numpy()
+
+        async def run():
+            if self._sem is None:
+                self._sem = asyncio.Semaphore(self._max_connections)
+            # in-flight identical-request dedup (Msg13.cpp:596-616):
+            # identical URLs share one download
+            tasks: dict = {}
+            for u, h, ip in zip(urls, hosts, ips):
+                if u not in tasks:
+                    tasks[u] = asyncio.ensure_future(
+                        self._fetch_one(u, h, int(ip))
+                    )
+            await asyncio.gather(*tasks.values())
+            return {u: t.result() for u, t in tasks.items()}
+
+        results = self._loop.run_until_complete(run())
+
+        status = np.zeros(n, dtype=np.int32)
+        err = np.zeros(n, dtype=np.int32)
+        cd_col = np.full(n, -1, dtype=np.int64)
+        end = np.zeros(n, dtype=np.int64)
+        allowed = np.zeros(n, dtype=bool)
+        htmls: list = []
+        locs: list = []
+        for i, u in enumerate(urls):
+            fr, cd, ok, elapsed = results[u]
+            status[i] = fr.http_status
+            err[i] = fr.err_code
+            cd_col[i] = cd
+            allowed[i] = ok
+            end[i] = launch_ms[i] + int(elapsed)
+            htmls.append(
+                to_utf8(fr.body, fr.content_type) if fr.body else ""
+            )
+            locs.append(fr.location)
+        out = batch
+        for name, arr in [
+            ("http_status", pa.array(status)),
+            ("err_code", pa.array(err)),
+            ("crawl_delay_ms", pa.array(cd_col)),
+            ("download_end_ms", pa.array(end)),
+            ("robots_allowed", pa.array(allowed)),
+            ("html", pa.array(htmls, pa.string())),
+            ("redir_location", pa.array(locs, pa.string())),
+        ]:
+            out = out.append_column(name, arr)
+        return out
