@@ -133,6 +133,61 @@ def cmd_inject(args) -> int:
     return 0
 
 
+def cmd_reindex(args) -> int:
+    """Docid-based query reindex (reference PageReindex.cpp:320-395,
+    ``gb`` admin /admin/reindex): select docs from the crawl's docs
+    table by a URL substring query, build is_reindex SpiderRequests
+    with the reference's fake-first-IP scheme, and admit them into the
+    frontier checkpoints so ``crawl --resume`` respiders them.  (The
+    reference's query runs over the search index; we query the docs
+    table — same selection contract, no index needed.)"""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from .pipelines.crawl import _ckpt_path
+    from .stages.canonicalize import make_reindex_request_cols, split_by_partition
+    from .state.frontier import FrontierCore
+
+    manifest_path = os.path.join(args.out, "checkpoints", "MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        print(json.dumps({"error": "no checkpoints found", "out": args.out}))
+        return 1
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    docs = pads.dataset(f"{args.out}/docs", format="parquet").to_table(
+        columns=["doc_id"]
+    )
+    urls = [u for u in docs["doc_id"].to_pylist() if args.contains in u]
+    cols = make_reindex_request_cols(
+        urls,
+        added_time=manifest.get("now", 0) // 1000,  # sr.m_addedTime = nowGlobal
+        force_delete=args.delete,
+    )
+    P = manifest["partitions"]
+    admitted = 0
+    for p, sub in split_by_partition(cols, P):
+        path = _ckpt_path(args.out, p)
+        with open(path, "rb") as f:
+            core = FrontierCore.from_checkpoint_bytes(f.read())
+        admitted += core.add_requests(sub)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(core.checkpoint_bytes({"wave": manifest["wave"]}))
+        os.replace(tmp, path)
+    print(
+        json.dumps(
+            {
+                "matched_docs": len(urls),
+                "requests": int(len(cols["url"])),
+                "admitted": admitted,
+                "note": "run crawl --resume to respider",
+            }
+        )
+    )
+    return 0
+
+
 def cmd_dump(args) -> int:
     import pyarrow.dataset as pads
 
@@ -186,6 +241,12 @@ def main(argv=None) -> int:
     i.add_argument("--hosts", type=int, default=50)
     i.add_argument("urls", nargs="+")
     i.set_defaults(fn=cmd_inject)
+
+    r = sub.add_parser("reindex")
+    r.add_argument("--out", required=True)
+    r.add_argument("--contains", required=True)
+    r.add_argument("--delete", action="store_true")
+    r.set_defaults(fn=cmd_reindex)
 
     d = sub.add_parser("dump")
     d.add_argument("--out", required=True)

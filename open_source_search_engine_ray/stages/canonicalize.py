@@ -109,6 +109,68 @@ def make_request_columns(
     return cols
 
 
+def make_reindex_request_cols(urls, added_time=0, force_delete=False) -> dict:
+    """Docid-based reindex requests from a docs-table query result
+    (reference PageReindex.cpp:320-395; the ``isdocidbased`` predicate,
+    Spider.cpp:2380-2385, maps to is_reindex).
+
+    Each URL becomes a SpiderRequest with ``is_reindex`` and a FAKE
+    ``first_ip`` derived from the probable docid exactly as the
+    reference does: delete flavor → ``docid & 0xffff`` (up to 64k
+    politeness keys, deliberately bounded so huge reindexes don't
+    stress the wait trees); reindex flavor → bits 6-13
+    (``(docid & 0xffff) >> 6 & 0xff``) so same-domain requests co-locate
+    on one shard; 0 is remapped to 1.  ``hop_count`` is -1
+    (PageReindex.cpp:378).
+
+    Divergence (documented): the reference stores the decimal docid as
+    the request URL (``m_urlIsDocId``) and resolves the title rec at
+    spider time; our docs table carries the URL directly, so we keep it
+    in the request — the scheduled fetch and the final frontier state
+    are identical.  Duplicate docids collapse to one request
+    (PageReindex's ``dt`` dedup table).
+    """
+    from ..functions.gbhash import probable_docid_batch
+
+    canon = [canonicalize(u) for u in urls]
+    canon = [c for c in canon if c is not None]
+    seen: set = set()
+    keep: list[str] = []
+    docids: list[int] = []
+    if canon:
+        dids = probable_docid_batch(canon)
+        for u, d in zip(canon, dids.tolist()):
+            if d in seen:
+                continue
+            seen.add(d)
+            keep.append(u)
+            docids.append(d)
+    n = len(keep)
+    fip = np.array(docids, dtype=np.uint64) & np.uint64(0xFFFF)
+    if not force_delete:
+        fip = (fip >> np.uint64(6)) & np.uint64(0xFF)
+    fip = np.where(fip == 0, np.uint64(1), fip).astype(np.int64)
+    hosts = [get_host(u) for u in keep]
+    domains = [get_domain(h) for h in hosts]
+    cols = {
+        "url": np.array(keep, dtype=object),
+        "uh48": gbhash.uh48_batch(keep),
+        "first_ip": fip,
+        "host": np.array(hosts, dtype=object),
+        "dom_hash32": gbhash.hash32_batch(domains).astype(np.int64),
+        "site_hash32": gbhash.hash32_batch(hosts).astype(np.int64),
+        "hop_count": np.full(n, -1, dtype=np.int32),
+        "added_time": np.full(n, added_time, dtype=np.int64),
+        "parent_ip": np.zeros(n, dtype=np.int64),
+        "is_injecting": np.zeros(n, dtype=bool),
+        "is_addurl": np.zeros(n, dtype=bool),
+        "is_reindex": np.ones(n, dtype=bool),
+        "fake_first_ip": np.ones(n, dtype=bool),
+        **url_flag_columns(keep),
+    }
+    return cols
+
+
 def request_cols_to_table(cols: dict) -> pa.Table:
     return pa.table({k: pa.array(v.tolist() if v.dtype == object else v) for k, v in cols.items()})
 

@@ -120,6 +120,13 @@ class CrawlConfig:
     # "privacore" or "shallow" (Collectiondb.cpp:1396, 1639, 2248)
     profile: str = "web"
 
+    # tagdb "authorityinlink" stand-in (XmlDoc.cpp:6553-6578): hosts or
+    # domains whose pages count as having an authority inlink.  Empty ()
+    # = no tagdb consulted, so the hasauthorityinlink predicate's
+    # validity gate (Spider.cpp:2272-2276) keeps rules using it
+    # unmatched — the reference behaves identically with no tag rec.
+    authority_sites: tuple = ()
+
     def filter_rules(self):
         if self.rules:
             return list(self.rules)
@@ -233,7 +240,7 @@ class _ReqStore:
         ("rep_row", np.int64),
     )
     OBJ_COLS = ("url", "host", "tld", "site_tag")
-    BOOL_COLS = ("in_sitelist",)
+    BOOL_COLS = ("in_sitelist", "has_authority_inlink")
     _ALL = tuple(n for n, _ in INT_COLS) + OBJ_COLS + BOOL_COLS
 
     def __init__(self, cap: int = 1024):
@@ -279,7 +286,8 @@ class _ReqStore:
         n = len(st["uh48"])
         s = cls(max(1024, n))
         for name in cls._ALL:
-            getattr(s, name)[:n] = st[name]
+            if name in st:  # absent in pre-upgrade checkpoints → zeros
+                getattr(s, name)[:n] = st[name]
         s.n = n
         return s
 
@@ -406,6 +414,10 @@ class FrontierCore:
         self.cfg = cfg
         self.prog = FilterProgram(cfg.filter_rules())
         self.site_list = SiteList(cfg.site_list)
+        # tagdb authorityinlink stand-in: host/domain membership table
+        # (XmlDoc.cpp:6553-6578); validity = "a tagdb was consulted"
+        self._auth_sites = frozenset(cfg.authority_sites)
+        self._auth_valid = bool(self._auth_sites)
         # frontier log (deduped, columnar)
         self.store = _ReqStore()
         self.reps = _RepStore()
@@ -572,6 +584,15 @@ class FrontierCore:
             tld_f = np.array([d.rsplit(".", 1)[-1] for d in doms_f], dtype=object)
             in_sl_f = self.site_list.matches_batch(urls_f, doms_f)
             tag_f = self.site_list.tags_batch(urls_f, doms_f)
+            if self._auth_valid:
+                aset = self._auth_sites
+                auth_f = np.fromiter(
+                    (h in aset or d in aset for h, d in zip(hosts_f, doms_f)),
+                    bool,
+                    nf,
+                )
+            else:
+                auth_f = np.zeros(nf, dtype=bool)
             www_f = np.fromiter(
                 (u.startswith(("http://www", "https://www")) for u in urls_f), bool, nf
             )
@@ -700,6 +721,7 @@ class FrontierCore:
                         "tld": tld_f[fpos],
                         "site_tag": tag_f[fpos],
                         "in_sitelist": in_sl_f[fpos],
+                        "has_authority_inlink": auth_f[fpos],
                     }
                 )
         self.metrics["added"] += admitted
@@ -796,8 +818,8 @@ class FrontierCore:
             "is_permalink_format": lambda: (flags & RQ_PERMFMT) != 0,
             "fake_first_ip": lambda: (flags & RQ_FAKEIP) != 0,
             "is_pingserver": lambda: np.zeros(n, dtype=bool),  # Url.cpp:2548
-            "has_authority_inlink": lambda: np.zeros(n, dtype=bool),
-            "authority_inlink_valid": lambda: np.zeros(n, dtype=bool),
+            "has_authority_inlink": lambda: st.has_authority_inlink[rows],
+            "authority_inlink_valid": lambda: np.full(n, self._auth_valid),
             "tld": lambda: st.tld[rows],
             "in_sitelist": lambda: st.in_sitelist[rows],
             "site_tag": lambda: st.site_tag[rows],
