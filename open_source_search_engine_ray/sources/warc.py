@@ -1,22 +1,30 @@
-"""Minimal WARC ingestion (reference corpus fixtures: html/test.warc.gz,
-test/Makefile) — reads WARC 1.0 ``response`` records from (optionally
-gzipped) files into (url, http_status, html) rows via
+"""WARC / ARC corpus ingestion (reference fixtures: html/test.warc.gz,
+html/test.arc.gz, test/Makefile:1-17) — reads archive records from
+(optionally multi-member-gzipped) files into
+(url, http_status, content_type, body) rows via
 ``ray.data.read_binary_files`` + a flat-map parser, then into the span
-model with the same ParseStage kernel as the live fetcher.
+model: ``warc_to_documents`` with the fixture round-trip parser, or
+``corpus_to_documents`` with the real-HTML extractor
+(sources/htmlparse.py) for archived web pages.
 
-Only the subset needed for corpus ingestion is implemented: record
-header parsing, Content-Length framed payloads, and an embedded HTTP/1.x
-response header block.
+HTTP payload handling mirrors the reference's reply processing:
+Content-Encoding gzip/deflate is inflated (Msg13.cpp:1920-2004), and
+bodies are decoded to UTF-8 through the charset chain
+(BOM → header → <meta> → fallback, XmlDoc.cpp:10311-10678).
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import zlib
+
+from ..functions.charset import to_utf8
 
 
 def parse_warc_bytes(data: bytes):
-    """Yield dicts (url, http_status, body_text) for WARC response records."""
+    """Yield dicts (url, http_status, content_type, body) for WARC
+    ``response`` records."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     stream = io.BytesIO(data)
@@ -45,16 +53,60 @@ def parse_warc_bytes(data: bytes):
         url = headers.get(b"warc-target-uri", b"").decode()
         if wtype != "response" or not url:
             continue
-        status, body = _parse_http_payload(payload)
-        yield {"url": url, "http_status": status, "body": body}
+        status, ctype, body = _parse_http_payload(payload)
+        yield {
+            "url": url,
+            "http_status": status,
+            "content_type": ctype,
+            "body": to_utf8(body, ctype),
+        }
+
+
+def parse_arc_bytes(data: bytes):
+    """Yield dicts (url, http_status, content_type, body) for ARC v1/v2
+    records (Internet Archive ARC file format; the reference ships
+    html/test.arc.gz and ingests it via ``gb ... arc``, test/Makefile).
+
+    Record head = one space-separated line whose first field is the URL
+    and last field the payload byte length (v1: 5 fields, v2: 10); the
+    leading ``filedesc://`` record is the archive's own metadata and is
+    skipped."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # handles per-record gzip members
+    stream = io.BytesIO(data)
+    while True:
+        line = stream.readline()
+        if not line:
+            break
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split(b" ")
+        try:
+            length = int(parts[-1])
+        except (ValueError, IndexError):
+            continue
+        payload = stream.read(length)
+        url = parts[0].decode("latin-1")
+        if url.startswith("filedesc://") or "://" not in url:
+            continue
+        status, ctype, body = _parse_http_payload(payload)
+        yield {
+            "url": url,
+            "http_status": status,
+            "content_type": ctype,
+            "body": to_utf8(body, ctype),
+        }
 
 
 def _parse_http_payload(payload: bytes):
-    """Split an HTTP response payload into (status, body-str)."""
+    """Split an HTTP response payload into (status, content_type,
+    body-bytes); inflates gzip/deflate Content-Encoding."""
     head, sep, body = payload.partition(b"\r\n\r\n")
     if not sep:
         head, sep, body = payload.partition(b"\n\n")
     status = 0
+    ctype = ""
     first = head.split(b"\r\n", 1)[0].split(b"\n", 1)[0]
     parts = first.split()
     if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
@@ -62,10 +114,31 @@ def _parse_http_payload(payload: bytes):
             status = int(parts[1])
         except ValueError:
             status = 0
+        enc = b""
+        for ln in head.splitlines()[1:]:
+            k, _, v = ln.partition(b":")
+            lk = k.strip().lower()
+            if lk == b"content-type":
+                ctype = v.strip().decode("latin-1")
+            elif lk == b"content-encoding":
+                enc = v.strip().lower()
+        if enc == b"gzip":
+            try:
+                body = gzip.decompress(body)
+            except OSError:
+                pass
+        elif enc == b"deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)
+                except zlib.error:
+                    pass
     else:
         body = payload  # no HTTP header block; treat whole payload as body
         status = 200
-    return status, body.decode("utf-8", errors="replace")
+    return status, ctype, body
 
 
 def write_warc(records, path: str, compress: bool = True) -> None:
@@ -91,30 +164,64 @@ def write_warc(records, path: str, compress: bool = True) -> None:
         f.write(data)
 
 
-def read_warc_dataset(paths):
-    """ray.data pipeline: WARC files → Dataset of (url, http_status, body)."""
+def read_warc_dataset(paths, fmt: str = "warc"):
+    """ray.data pipeline: WARC/ARC files → Dataset of
+    (url, http_status, content_type, body)."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths)
+    parse = parse_arc_bytes if fmt == "arc" else parse_warc_bytes
 
     def explode(batch):
         import pyarrow as pa
 
-        urls, statuses, bodies = [], [], []
+        urls, statuses, ctypes, bodies = [], [], [], []
         for blob in batch["bytes"].to_pylist():
-            for rec in parse_warc_bytes(blob):
+            for rec in parse(blob):
                 urls.append(rec["url"])
                 statuses.append(rec["http_status"])
+                ctypes.append(rec["content_type"])
                 bodies.append(rec["body"])
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "http_status": pa.array(statuses, pa.int32()),
+                "content_type": pa.array(ctypes, pa.string()),
                 "body": pa.array(bodies, pa.string()),
             }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def corpus_to_documents(paths, fmt: str = "warc"):
+    """Archived real-web corpus → documents(doc_id, spans) via the
+    general HTML extractor (full entity decoding + charset chain) —
+    the ingestion path for non-SynthWeb pages."""
+    from .htmlparse import extract_span_rows
+
+    ds = read_warc_dataset(paths, fmt=fmt)
+
+    def to_docs(batch):
+        import pyarrow as pa
+
+        from ..stages.fetch import SPAN_TYPE
+
+        ids, spans = [], []
+        for url, status, ctype, body in zip(
+            batch["url"].to_pylist(),
+            batch["http_status"].to_pylist(),
+            batch["content_type"].to_pylist(),
+            batch["body"].to_pylist(),
+        ):
+            if status == 200 and body and "html" in (ctype or "html"):
+                ids.append(url)
+                spans.append(extract_span_rows(body))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "spans": pa.array(spans, SPAN_TYPE)}
+        )
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
 def warc_to_documents(paths):
