@@ -435,10 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.quality_scores,
         "ann_topk": T.ann_topk,
         "ann_topk_ivf": T.ann_topk_ivf,
-        "minhash_lsh_dedup": T.minhash_lsh_dedup,
+        "minhash_lsh_dedup": T.minhash_planted_verify,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "simhash_dedup": T.simhash_dedup,
-        "embedding_near_dup": T.embedding_near_dup,
+        "embedding_near_dup": T.embedding_planted_verify,
         "lang_id": T.lang_id_pred,
         "doc_fingerprints": T.doc_fingerprints,
         "adult_flags": T.adult_flags,
@@ -469,6 +469,76 @@ def oracle_sql() -> dict[str, str]:
     _STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
     _NEEDLE_VALUES = ",".join(f"('{needle}', {w})" for needle, w in DIRTY_NEEDLES)
     return {
+        # near-dup family: the sketch pipelines run in full on the Ray
+        # side; the registered result is the planted-duplicate subset
+        # (plus, for ngram, every organic pair over the exact-jaccard
+        # threshold) with an EXACT similarity the oracle recomputes
+        # independently — a missed pair or wrong value hash-fails.
+        "minhash_lsh_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 4 = 0
+            ), pert AS (
+              SELECT doc_id, toks,
+                     list_transform(toks, (x, i) ->
+                        CASE WHEN (i-1) % 11 = doc_id % 11
+                        THEN 'tok' || CAST((doc_id + i - 1) % 97 AS VARCHAR)
+                        ELSE x END) AS toks2
+              FROM base
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sa,
+                list_distinct(list_transform(range(1, len(toks2)-1),
+                  i -> toks2[i] || ' ' || toks2[i+1] || ' ' || toks2[i+2])) AS sb
+              FROM pert
+            )
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+                   ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                         / len(list_distinct(sa || sb)), 6) AS jaccard
+            FROM sh ORDER BY doc_a
+        """,
+        "ngram_jaccard_pairs": """
+            WITH pert AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     list_transform(string_split(text, ' '), (x, i) ->
+                        CASE WHEN (i-1) % 11 = doc_id % 11
+                        THEN 'tok' || CAST((doc_id + i - 1) % 97 AS VARCHAR)
+                        ELSE x END) AS toks
+              FROM documents WHERE doc_id % 4 = 0
+            ), aug AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              UNION ALL SELECT doc_id, toks FROM pert
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM aug
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes na ON doc_a = na.doc_id
+            JOIN sizes nb ON doc_b = nb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dup": """
+            WITH p AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST(CAST(list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> x*0.98 + 0.01) AS FLOAT[]) AS DOUBLE[]) AS v2
+              FROM embeddings WHERE vec_id % 5 = 0
+            )
+            SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
+                   ROUND(list_cosine_similarity(v, v2), 6) AS cosine
+            FROM p ORDER BY vec_a
+        """,
         "adult_flags": f"""
             SELECT doc_id, points, points >= 2 AS is_adult FROM (
                 SELECT d.doc_id,

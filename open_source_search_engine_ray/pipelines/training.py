@@ -187,11 +187,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = [
-            round(dd.exact_jaccard(a, b), 4)
-            for a, b in zip(df["text_a"], df["text"])
+            dd.exact_jaccard(a, b) for a, b in zip(df["text_a"], df["text"])
         ]
-        out = df[["doc_a", "doc_b"]].assign(jaccard=jac)
-        return out[out["jaccard"] >= threshold]
+        out = df[["doc_a", "doc_b"]].assign(
+            jaccard=np.round(np.asarray(jac, dtype=np.float64), 6)
+        )
+        return out[np.asarray(jac) >= threshold]
 
     out = j2.map_batches(verify, batch_format="pandas").to_pandas()
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
@@ -430,13 +431,10 @@ def _aug_embeddings(sf_dir: str):
         ids = t["vec_id"].to_numpy()
         sel = np.nonzero(ids % 5 == 0)[0]
         V = stack_embeddings(t["embedding"])[sel].astype(np.float64)
-        noise = np.stack(
-            [
-                np.random.Generator(np.random.PCG64(int(v))).normal(0, 0.01, V.shape[1])
-                for v in ids[sel]
-            ]
-        ) if len(sel) else np.empty((0, V.shape[1] if V.ndim == 2 else 0))
-        new = (V + noise).astype(np.float32)
+        # deterministic affine perturbation (cosine ≈ 0.9967 at dim 64),
+        # chosen to be SQL-expressible so the oracle twin can rebuild the
+        # planted copies exactly (list_transform(x -> x*0.98 + 0.01))
+        new = (V * 0.98 + 0.01).astype(np.float32)
         emb_type = t.schema.field("embedding").type
         dim = new.shape[1] if len(sel) else 0
         offs = np.arange(0, (len(sel) + 1) * dim, dim, dtype=np.int64) if dim else np.zeros(len(sel) + 1, np.int64)
@@ -515,6 +513,102 @@ def embedding_near_dup(
         exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
     )
     out = out.drop_duplicates(["vec_a", "vec_b"])
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checkable planted-duplicate verification (the hash-checked faces
+# of the sketch pipelines: the full LSH machinery runs, the registered
+# result is the planted-pair subset with an EXACT similarity column that
+# DuckDB recomputes independently from the base tables)
+# ---------------------------------------------------------------------------
+
+
+def minhash_planted_verify(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup detection, verified on the planted dups:
+    runs the full sketch pipeline (shingle→minhash→band→bucket shuffle),
+    keeps the planted pairs it found, and attaches the EXACT word-shingle
+    Jaccard recomputed from the original text + the deterministic
+    perturbation.  The oracle twin rebuilds the same pairs and values in
+    SQL, so a single missed planted pair (LSH recall < 1) or a wrong
+    jaccard hash-fails."""
+    import ray.data as rd
+
+    pairs = minhash_lsh_dedup(sf_dir, threshold=0.3)
+    planted = pairs[
+        ((pairs["doc_b"] - pairs["doc_a"]) == AUG_OFFSET)
+        & (pairs["doc_a"] % 4 == 0)
+    ][["doc_a", "doc_b"]]
+    if planted.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    j = rd.from_pandas(planted).join(
+        docs, "inner", 8, on=("doc_a",), right_on=("doc_id",)
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = [
+            round(dd.exact_jaccard(t, _perturb(t, int(d))), 6)
+            for t, d in zip(df["text"], df["doc_a"])
+        ]
+        return df[["doc_a", "doc_b"]].assign(jaccard=jac)
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_planted_verify(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH, verified on the
+    planted dups: the registered result is the planted pairs the LSH
+    pipeline found, with the exact cosine recomputed from the original
+    vector and its affine perturbation (float64 math → float32 storage
+    round-trip, mirrored by the oracle's CAST chain)."""
+    import ray.data as rd
+
+    pairs = embedding_near_dup(sf_dir)
+    planted = pairs[
+        ((pairs["vec_b"] - pairs["vec_a"]) == AUG_OFFSET)
+        & (pairs["vec_a"] % 5 == 0)
+    ][["vec_a", "vec_b"]]
+    if planted.empty:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # acero joins reject list<float> payload columns — ship the vector
+    # as one binary cell per row through the shuffle (same trick as the
+    # minhash signature transport above)
+    def pack(t: pa.Table) -> pa.Table:
+        V = stack_embeddings(t["embedding"]).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "emb": pa.array([V[i].tobytes() for i in range(len(V))], pa.binary()),
+            }
+        )
+
+    j = rd.from_pandas(planted).join(
+        emb.map_batches(pack, batch_format="pyarrow"),
+        "inner",
+        8,
+        on=("vec_a",),
+        right_on=("vec_id",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        V = (
+            np.frombuffer(b"".join(df["emb"]), dtype=np.float32)
+            .reshape(len(df), -1)
+            .astype(np.float64)
+        )
+        V2 = (V * 0.98 + 0.01).astype(np.float32).astype(np.float64)
+        cos = (V * V2).sum(axis=1) / (
+            np.linalg.norm(V, axis=1) * np.linalg.norm(V2, axis=1)
+        )
+        return df[["vec_a", "vec_b"]].assign(cosine=np.round(cos, 6))
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 

@@ -135,3 +135,36 @@ def test_lang_id_pipeline_runs(_ray):
     out = T.lang_id_pred(SF_DIR)
     assert len(out) == 500
     assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "it", "xx"}
+
+
+def _oracle_compare(key, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    eng = E.queries()[key](sf_dir)
+    if not isinstance(eng, pd.DataFrame):
+        eng = eng.to_pandas()
+    ora = con.sql(E.oracle_sql()[key]).df()
+    cols = sorted(eng.columns)
+    eng = eng[cols].sort_values(cols).reset_index(drop=True)
+    ora = ora[cols].sort_values(cols).reset_index(drop=True)
+    ora = ora.astype(eng.dtypes.to_dict())
+    con.close()
+    assert eng.equals(ora), (key, len(eng), len(ora))
+
+
+def test_neardup_family_matches_duckdb_oracle(_ray):
+    """The registered near-dup queries are hash-checkable: the sketch
+    pipelines' planted-pair output (and ngram's full exact-jaccard pair
+    set) must equal the DuckDB oracle row-for-row — a single missed
+    planted pair or a wrong similarity value fails here before it fails
+    in the driver's CORRECTNESS gate."""
+    for key in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "embedding_near_dup"):
+        _oracle_compare(key, SF_DIR)
