@@ -80,9 +80,56 @@ _LANG_MARKERS = {
 }
 
 
+# Unicode script blocks → language (the script half of
+# LanguageIdentifier.cpp's charset+wordlist resolution: non-Latin
+# scripts identify the language family directly; Latin text falls
+# through to the stopword vote below).  Ranges are the standard
+# Unicode block boundaries.
+_SCRIPT_RANGES = (
+    (0x3040, 0x30FF, "ja"),  # hiragana + katakana (decisive over CJK)
+    (0xAC00, 0xD7AF, "ko"),  # hangul syllables
+    (0x1100, 0x11FF, "ko"),  # hangul jamo
+    (0x4E00, 0x9FFF, "zh"),  # CJK unified ideographs
+    (0x0400, 0x04FF, "ru"),  # cyrillic
+    (0x0600, 0x06FF, "ar"),  # arabic
+    (0x0590, 0x05FF, "he"),  # hebrew
+    (0x0370, 0x03FF, "el"),  # greek
+    (0x0900, 0x097F, "hi"),  # devanagari
+    (0x0E00, 0x0E7F, "th"),  # thai
+)
+
+
+def _script_lang(text: str) -> str | None:
+    """Codepoint-range script vote; None = Latin-ish (use stopwords)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) == 0 or int(cp.max()) < 0x370:
+        return None
+    counts: dict[str, int] = {}
+    for lo, hi, lang in _SCRIPT_RANGES:
+        c = int(((cp >= lo) & (cp <= hi)).sum())
+        if c:
+            counts[lang] = counts.get(lang, 0) + c
+    if not counts:
+        return None
+    non_ascii = int((cp >= 0x80).sum())
+    # kana presence is decisive: Japanese text mixes kana with CJK
+    # ideographs, Chinese text has no kana
+    if counts.get("ja") and counts.get("zh"):
+        counts["ja"] += counts.pop("zh")
+    lang, c = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    if c * 10 >= non_ascii * 3 and c >= 4:
+        return lang
+    return None
+
+
 def lang_id(text: str) -> str:
-    """Stopword-vote language ID (heuristic stand-in for
-    LanguageIdentifier.cpp).  Returns the best-scoring language or 'xx'."""
+    """Language ID: Unicode-script vote for non-Latin scripts, then a
+    stopword vote for Latin text (heuristic stand-in for
+    LanguageIdentifier.cpp's charset+wordlist chain).  Returns the
+    best-scoring language or 'xx'."""
+    s = _script_lang(text)
+    if s is not None:
+        return s
     words = text.lower().split()
     if not words:
         return "xx"

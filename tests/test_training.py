@@ -168,3 +168,25 @@ def test_neardup_family_matches_duckdb_oracle(_ray):
     in the driver's CORRECTNESS gate."""
     for key in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "embedding_near_dup"):
         _oracle_compare(key, SF_DIR)
+
+
+def test_lang_id_scripts():
+    """Non-Latin scripts resolve by Unicode block vote (the script half
+    of LanguageIdentifier.cpp); Latin text still uses stopwords; kana
+    presence is decisive over CJK ideographs."""
+    cases = {
+        "привет как дела сегодня вечером": "ru",
+        "今日は良い天気ですね、こんにちは": "ja",
+        "这是一个中文句子，没有假名": "zh",
+        "안녕하세요 오늘 날씨가 좋네요": "ko",
+        "مرحبا كيف حالك اليوم": "ar",
+        "שלום מה שלומך היום": "he",
+        "γεια σας τι κανετε σημερα": "el",
+        "नमस्ते आप कैसे हैं आज": "hi",
+        "สวัสดีครับวันนี้อากาศดี": "th",
+        "the quick brown fox jumps over the lazy dog": "en",
+        "": "xx",
+        "café résumé naïve": "xx",  # a few accents ≠ a non-Latin script
+    }
+    for text, want in cases.items():
+        assert ts.lang_id(text) == want, (text, want, ts.lang_id(text))
