@@ -88,7 +88,7 @@ def cmd_inject(args) -> int:
     import os
 
     from .pipelines.crawl import _ckpt_path
-    from .sources.synthweb import SynthWeb, WebConfig
+    from .sources.synthweb import WebConfig, get_web
     from .stages.canonicalize import make_request_columns, split_by_partition
     from .state.frontier import FrontierCore
 
@@ -107,7 +107,7 @@ def cmd_inject(args) -> int:
     with open(manifest_path) as f:
         manifest = json.load(f)
     P = manifest["partitions"]
-    web = SynthWeb(WebConfig(n_hosts=args.hosts))
+    web = get_web(WebConfig(n_hosts=args.hosts))
     host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
     cols = make_request_columns(args.urls, host_ip, is_addurl=True)
     admitted = 0

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..sources.synthweb import SynthWeb, WebConfig
+from ..sources.synthweb import SynthWeb, WebConfig, get_web
 from ..stages.canonicalize import make_request_columns, split_by_partition
 from ..stages.fetch import (
     RECORD_SCHEMA,
@@ -409,7 +409,7 @@ def run_crawl(
 
         for sub in ("docs", "checkpoints", "frontier"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-    web = SynthWeb(web_cfg)
+    web = get_web(web_cfg)
     host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
     if not cfg.site_list:
         from dataclasses import replace
@@ -437,6 +437,33 @@ def _get_wave_task(ray):
     if _WAVE_TASK is None:
         _WAVE_TASK = ray.remote(num_cpus=1)(_wave_task_body)
     return _WAVE_TASK
+
+
+def _seed_task_body(raw_urls, host_ip, P):
+    """Canonicalize+hash a seed chunk into per-partition request blobs
+    (the cluster-side form of seed_columns for big seed lists)."""
+    import pickle
+
+    from ..stages.canonicalize import make_request_columns, split_by_partition
+
+    cols = make_request_columns(
+        raw_urls, host_ip, hop_count=0, added_time=0, parent_ip=0
+    )
+    return {int(p): pickle.dumps(sub) for p, sub in split_by_partition(cols, P)}
+
+
+#: seed lists at least this long canonicalize on the cluster instead of
+#: the driver (tests patch this down to force the parallel path)
+SEED_TASK_MIN = 20_000
+
+_SEED_TASK = None
+
+
+def _get_seed_task(ray):
+    global _SEED_TASK
+    if _SEED_TASK is None:
+        _SEED_TASK = ray.remote(num_cpus=1)(_seed_task_body)
+    return _SEED_TASK
 
 
 class _RayCrawlCtx:
@@ -492,13 +519,35 @@ class _RayCrawlCtx:
         if not resumed:
             import pickle
 
-            cols = seed_columns(web, host_ip)
-            ray.get(
-                [
-                    self.actors[p].add_requests_blob.remote(pickle.dumps(sub))
-                    for p, sub in split_by_partition(cols, P)
+            raw_seeds = web.seeds()
+            if len(raw_seeds) >= SEED_TASK_MIN:
+                # big seed lists canonicalize+hash on the cluster, not
+                # the driver (at 10^10 URLs the seed list is a dataset;
+                # admission is commutative — see urlseen docstring — so
+                # per-chunk delivery order is free)
+                seed_task = _get_seed_task(ray)
+                ip_ref = ray.put(host_ip)
+                nchunk = max(8, min(32, self.ncpu if hasattr(self, "ncpu") else 32))
+                step = -(-len(raw_seeds) // nchunk)
+                chunk_futs = [
+                    seed_task.remote(raw_seeds[o : o + step], ip_ref, P)
+                    for o in range(0, len(raw_seeds), step)
                 ]
-            )
+                admits = []
+                for blobs in ray.get(chunk_futs):
+                    admits.extend(
+                        self.actors[p].add_requests_blob.remote(b)
+                        for p, b in blobs.items()
+                    )
+                ray.get(admits)
+            else:
+                cols = seed_columns(web, host_ip)
+                ray.get(
+                    [
+                        self.actors[p].add_requests_blob.remote(pickle.dumps(sub))
+                        for p, sub in split_by_partition(cols, P)
+                    ]
+                )
         self.now = ck_now if resumed else 0
         self.waves = ck_wave if resumed else 0
         self.stage_kw = dict(batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
@@ -971,7 +1020,7 @@ def run_multi_crawl(
     collection (tests/test_multicoll.py pins this)."""
     import shutil
 
-    web = SynthWeb(web_cfg)
+    web = get_web(web_cfg)
     host_ip = {h: int(ip) for h, ip in zip(web.hosts, web.ips)}
     ctxs = {}
     for name, cfg in colls.items():

@@ -92,6 +92,23 @@ class WebConfig:
         return self
 
 
+def get_web(cfg: WebConfig) -> "SynthWeb":
+    """Process-wide memoized SynthWeb (the simulated network is static
+    infrastructure — table construction for a 150k-host web costs ~4 s
+    and must not be re-billed to every crawl in the same process; the
+    workers' `_cached_fetch` already memoizes the same way)."""
+    web = _WEB_CACHE.get(cfg)
+    if web is None:
+        web = SynthWeb(cfg)
+        if len(_WEB_CACHE) >= 4:
+            _WEB_CACHE.pop(next(iter(_WEB_CACHE)))
+        _WEB_CACHE[cfg] = web
+    return web
+
+
+_WEB_CACHE: dict = {}
+
+
 class SynthWeb:
     """Procedural synthetic web. All methods are pure given the config."""
 

@@ -105,3 +105,16 @@ def test_robots_denied_not_in_docs(engine):
     for d in docs:
         if d.split("/")[2] in t1_hosts:
             assert "/private/" not in d
+
+
+def test_parallel_seed_path_equals_oracle(tmp_path, ray_session, monkeypatch):
+    """Cluster-side seed canonicalization (big seed lists fan out as Ray
+    tasks, per-chunk admission) produces the same crawl as the serial
+    oracle — admission is commutative under chunked delivery."""
+    from open_source_search_engine_ray.pipelines import crawl as C
+
+    monkeypatch.setattr(C, "SEED_TASK_MIN", 1)
+    e = run_crawl(WEB, CFG, str(tmp_path / "e"), engine="ray")
+    o = run_crawl(WEB, CFG, str(tmp_path / "o"), engine="local")
+    assert o.launch_log.to_pylist() == e.launch_log.to_pylist()
+    assert o.url_seen == e.url_seen and o.metrics == e.metrics
