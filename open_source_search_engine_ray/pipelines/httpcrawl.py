@@ -1,0 +1,252 @@
+"""Real-socket crawl tier: the production fetch contract end-to-end.
+
+The SynthWeb engine (pipelines/crawl.py) exercises the frontier at
+throughput scale with a procedural network; this pipeline wires the SAME
+FrontierCore scheduling semantics to REAL sockets:
+
+    FrontierCore.schedule(wall_ms)  --launch batches-->
+        HttpFetchStage actor pool   (robots gate, hammer-queue
+                                     politeness, twitchy backoff,
+                                     tmp-error taxonomy — stages/httpfetch)
+        → real-HTML span extraction (sources/htmlparse: full entity
+          decoding; charset chain applied in the fetch tier)
+        → docs parquet + reply/outlink route-back → re-arm
+
+Reference lifecycle: SpiderLoop::spiderDoledUrls → Msg13::getDoc →
+XmlDoc::indexDoc → Links harvest → Msg4 scatter (Spider.cpp:5100-5340,
+Msg13.cpp:125-765, XmlDoc.cpp:15007-15520).
+
+Politeness domains land on exactly one fetch actor (launch rows route
+by hash(first_ip) % n_fetchers) so the per-IP hammer clocks and twitchy
+tables are authoritative — the same partitioning invariant the frontier
+itself uses.  Tables cross actor boundaries as Arrow IPC bytes (see
+crawl.py's serializer note).
+
+DNS seam: politeness first-IPs are the deterministic per-host pseudo-IPs
+of the synthetic resolver (stages/canonicalize.resolve_ip); the socket
+address comes from the ``resolve`` map (in production both come from the
+same resolver, XmlDoc.cpp:6553-6578).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.textstats import lang_id
+from ..sources.htmlparse import extract_span_rows
+from ..stages.canonicalize import make_request_columns, split_by_partition
+from ..stages.fetch import SPAN_TYPE
+from ..stages.httpfetch import HttpFetchStage
+from ..state.frontier import INF, CrawlConfig, FrontierCore, part_of_ip
+from .crawl import ipc_to_table, table_to_ipc
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("uh48", pa.uint64()),
+        ("spans", SPAN_TYPE),
+        ("wave", pa.int64()),
+    ]
+)
+
+REDIRECT_STATUSES = frozenset({301, 302, 303, 307, 308})
+
+
+class _FetchActor(HttpFetchStage):
+    """HttpFetchStage + IPC transport for actor boundaries."""
+
+    def fetch_ipc(self, blob: bytes) -> bytes:
+        return table_to_ipc(self(ipc_to_table(blob)))
+
+
+def _reply_cols(launch: pa.Table, fetched: pa.Table, langs: list, hashes) -> dict:
+    end = fetched["download_end_ms"].to_numpy()
+    return {
+        "uh48": launch["uh48"].to_numpy(),
+        "first_ip": launch["first_ip"].to_numpy(),
+        "dom_hash32": launch["dom_hash32"].to_numpy(),
+        "spidered_time": end // 1000,
+        "download_end_ms": end,
+        "err_code": fetched["err_code"].to_numpy(),
+        "http_status": fetched["http_status"].to_numpy(),
+        "crawl_delay_ms": fetched["crawl_delay_ms"].to_numpy(),
+        "lang": np.array(langs, dtype=object),
+        "content_hash32": np.asarray(hashes, dtype=np.int64),
+    }
+
+
+def run_http_crawl(
+    seeds: list,
+    resolve: dict,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    user_agent: str = "gigablastbot",
+    n_fetchers: int = 2,
+    fetcher_kwargs: dict | None = None,
+) -> dict:
+    """Crawl a real HTTP web from ``seeds``; ``resolve`` maps host →
+    (addr, port) (the localhost fixture seam; None entries DNS-fail).
+    Runs on the wall clock — robots crawl-delays become real gaps.
+    Returns {metrics, launch_log (pa.Table), url_seen, docs_dir}.
+    """
+    import ray
+
+    cfg = cfg or CrawlConfig(num_partitions=2, horizon_ms=120_000)
+    os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+    P = cfg.num_partitions
+    cores = [FrontierCore(p, cfg) for p in range(P)]
+
+    # seeds: canonicalize + pseudo-IP politeness keys ({} → every host
+    # gets the deterministic hash-derived first_ip)
+    cols = make_request_columns(seeds, {}, hop_count=0, added_time=0)
+    for p, sub in split_by_partition(cols, P):
+        cores[p].add_requests(sub)
+
+    Actor = ray.remote(num_cpus=0.1)(_FetchActor)
+    kw = dict(fetcher_kwargs or {})
+    kw.setdefault("resolve", resolve)
+    fetchers = [Actor.remote(user_agent=user_agent, **kw) for _ in range(n_fetchers)]
+
+    launch_tables: list = []
+    wave = 0
+    # epoch offset: the filter DSL encodes "has a reply" as
+    # spidered_time > 0 (Spider.cpp treats time 0 as unset), so the
+    # crawl clock starts at 1s to keep first-second replies visible
+    epoch_ms = 1000
+    t0 = time.monotonic()
+    metrics = {"launched": 0, "completed": 0, "errors": 0, "docs": 0}
+    while True:
+        nxt = min(c.next_event_ms() for c in cores)
+        if nxt >= INF or nxt > cfg.horizon_ms:
+            break
+        wall = int((time.monotonic() - t0) * 1000) + epoch_ms
+        if nxt > wall:
+            time.sleep((nxt - wall) / 1000.0)
+            wall = int((time.monotonic() - t0) * 1000) + epoch_ms
+        now = max(wall, nxt)
+        launches = [t for c in cores for t in [c.schedule(now, wave)] if t.num_rows]
+        wave += 1
+        if not launches:
+            continue
+        launch = pa.concat_tables(launches)
+        launch_tables.append(launch)
+        metrics["launched"] += launch.num_rows
+
+        # route each politeness domain to exactly one fetch actor
+        ips = launch["first_ip"].to_numpy()
+        fparts = np.fromiter(
+            (part_of_ip(ip, n_fetchers) for ip in ips), np.int64, len(ips)
+        )
+        futs = {}
+        for f in np.unique(fparts):
+            sub = launch.filter(pa.array(fparts == f))
+            futs[int(f)] = (sub, fetchers[int(f)].fetch_ipc.remote(table_to_ipc(sub)))
+
+        doc_ids: list = []
+        doc_uh: list = []
+        doc_spans: list = []
+        for f, (sub, fut) in futs.items():
+            fetched = ipc_to_table(ray.get(fut))
+            urls = sub["url"].to_pylist()
+            hops = sub["hop_count"].to_numpy()
+            harvest = sub["harvest_links"].to_numpy()
+            statuses = fetched["http_status"].to_numpy()
+            errs = fetched["err_code"].to_numpy()
+            htmls = fetched["html"].to_pylist()
+            redirs = fetched["redir_location"].to_pylist()
+
+            langs = []
+            hashes = []
+            out_urls: list = []
+            out_bases: list = []
+            out_hops: list = []
+            for i, url in enumerate(urls):
+                html = htmls[i]
+                hashes.append(zlib.crc32(html.encode()) if html else 0)
+                if int(statuses[i]) in REDIRECT_STATUSES and redirs[i]:
+                    # redirect = hop-preserving outlink (XmlDoc.cpp:15377)
+                    out_urls.append(redirs[i])
+                    out_bases.append(url)
+                    out_hops.append(int(hops[i]))
+                if int(statuses[i]) != 200 or int(errs[i]) != 0 or not html:
+                    langs.append("xx")
+                    metrics["errors"] += int(errs[i]) != 0
+                    continue
+                spans = extract_span_rows(html)
+                text = " ".join(
+                    s["text"] for s in spans if s["kind"] == "text"
+                )
+                langs.append(lang_id(text))
+                doc_ids.append(url)
+                doc_uh.append(int(sub["uh48"][i].as_py()))
+                doc_spans.append(spans)
+                if harvest[i]:
+                    for s in spans:
+                        if s["kind"] == "link":
+                            out_urls.append(s["media_ref"])
+                            out_bases.append(url)
+                            out_hops.append(int(hops[i]) + 1)
+            metrics["completed"] += len(urls)
+
+            # replies back to the owning cores
+            rep = _reply_cols(sub, fetched, langs, hashes)
+            rparts = np.fromiter(
+                (part_of_ip(ip, P) for ip in rep["first_ip"]), np.int64, len(urls)
+            )
+            for p in np.unique(rparts):
+                idx = np.nonzero(rparts == p)[0]
+                cores[int(p)].complete({k: v[idx] for k, v in rep.items()})
+
+            # outlinks → new requests
+            if out_urls:
+                ocols = make_request_columns(
+                    out_urls,
+                    {},
+                    bases=out_bases,
+                    hop_count=np.asarray(out_hops, dtype=np.int64),
+                    added_time=now // 1000,
+                    drop=lambda u: not u.startswith("http"),
+                )
+                for p, sub_o in split_by_partition(ocols, P):
+                    cores[p].add_requests(sub_o)
+
+        if doc_ids:
+            t = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.string()),
+                    "uh48": pa.array(np.asarray(doc_uh, dtype=np.uint64)),
+                    "spans": pa.array(doc_spans, SPAN_TYPE),
+                    "wave": pa.array([wave - 1] * len(doc_ids), pa.int64()),
+                }
+            )
+            pq.write_table(
+                t, os.path.join(out_dir, "docs", f"wave-{wave - 1:05d}.parquet")
+            )
+            metrics["docs"] += len(doc_ids)
+
+    for a in fetchers:
+        import ray
+
+        ray.kill(a)
+    launch_log = (
+        pa.concat_tables(launch_tables)
+        if launch_tables
+        else pa.table({"url": pa.array([], pa.string())})
+    )
+    url_seen = sorted(
+        (u, uh)
+        for c in cores
+        for u, uh in zip(c._seen_url, c._seen_uh)
+    )
+    return {
+        "metrics": metrics,
+        "launch_log": launch_log,
+        "url_seen": [(uh, u) for u, uh in url_seen],
+        "docs_dir": os.path.join(out_dir, "docs"),
+    }

@@ -186,7 +186,11 @@ class HttpFetchStage:
         self.auto_backoff = auto_backoff
         self.crawl_delay_from_end = crawl_delay_from_end
         self.auto_crawl_delay_ms = auto_crawl_delay_ms
-        self._loop = asyncio.new_event_loop()
+        # the stage owns its event loop in a dedicated thread: Ray actor
+        # workers keep a running loop on the main thread, so
+        # run_until_complete there raises "another loop is running"
+        self._loop = None
+        self._loop_thread = None
         self._sem = None  # created lazily inside the loop
         self._max_connections = max_connections
         # host -> (expiry_monotonic, RobotsPolicy)
@@ -360,7 +364,15 @@ class HttpFetchStage:
             await asyncio.gather(*tasks.values())
             return {u: t.result() for u, t in tasks.items()}
 
-        results = self._loop.run_until_complete(run())
+        if self._loop is None:
+            import threading
+
+            self._loop = asyncio.new_event_loop()
+            self._loop_thread = threading.Thread(
+                target=self._loop.run_forever, daemon=True
+            )
+            self._loop_thread.start()
+        results = asyncio.run_coroutine_threadsafe(run(), self._loop).result()
 
         status = np.zeros(n, dtype=np.int32)
         err = np.zeros(n, dtype=np.int32)
