@@ -69,6 +69,60 @@ def _q_crawl_e2e(sf_dir: str):
     return res.launch_log.to_pandas()
 
 
+def _q_crawl_http(sf_dir: str):
+    """Real-socket crawl over a localhost fixture site (deterministic:
+    no error hosts, no crawl-delay — the launched URL set and span
+    counts are timing-independent)."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from open_source_search_engine_ray.functions.urlfilter import UrlFilterRule
+    from open_source_search_engine_ray.pipelines.httpcrawl import run_http_crawl
+    from open_source_search_engine_ray.state.frontier import CrawlConfig
+    from open_source_search_engine_ray.testing import StaticSiteServer
+
+    sites = {
+        "h1.test": {
+            "/": '<html><body><a href="/a.html">a</a>'
+            '<a href="http://h2.test/">x</a>R&amp;D</body></html>',
+            "/a.html": "<html><body><p>alpha &lt;page&gt;</p></body></html>",
+        },
+        "h2.test": {
+            "/": '<html><body><a href="/b.html">b</a>beta</body></html>',
+            "/b.html": "<html><body>leaf</body></html>",
+        },
+    }
+    srv = StaticSiteServer(sites).start()
+    try:
+        out = tempfile.mkdtemp(prefix="httpcrawl_q_")
+        res = run_http_crawl(
+            seeds=["http://h1.test/"],
+            resolve=srv.resolve_map(),
+            out_dir=out,
+            cfg=CrawlConfig(
+                num_partitions=2,
+                horizon_ms=60_000,
+                rules=(UrlFilterRule("default", 50, 30.0, 9, 7, 50),),
+            ),
+            n_fetchers=2,
+        )
+        docs = pads.dataset(res["docs_dir"], format="parquet").to_table()
+        return (
+            pd.DataFrame(
+                {
+                    "doc_id": docs["doc_id"].to_pylist(),
+                    "n_spans": [len(s) for s in docs["spans"].to_pylist()],
+                }
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        srv.stop()
+
+
 def _q_crawl_url_seen(sf_dir: str):
     import tempfile
 
@@ -448,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl operators (reference-semantics; rows-only here, oracle
         # equality in tests/test_crawl_e2e.py)
         "crawl_e2e": _q_crawl_e2e,
+        "crawl_http": _q_crawl_http,
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_canonicalize": _q_canonicalize,
         "crawl_uh48": _q_uh48,

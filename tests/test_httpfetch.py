@@ -315,3 +315,39 @@ def test_tmp_error_feeds_reschedule_rule():
     )
     assert expr(j) == "errorcount>=1"
     assert WEB.force_delete[j]
+
+
+def test_map_batches_actor_pool_contract(ray_session):
+    """The stage is a drop-in actor-pool map_batches callable: event
+    loop + caches live per actor, batches flow as Arrow tables."""
+    import ray.data as rd
+
+    resolve = {h: ("127.0.0.1", SRV.port) for h in ("plain.test", "cd.test")}
+    rows = [
+        {
+            "url": f"http://plain.test/mb{i}",
+            "host": "plain.test",
+            "first_ip": 900 + (i % 2),
+            "launch_ms": 1000,
+        }
+        for i in range(8)
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(
+            HttpFetchStage,
+            fn_constructor_kwargs={
+                "resolve": resolve,
+                "connect_timeout_s": 2.0,
+                "read_timeout_s": 2.0,
+            },
+            concurrency=2,
+            batch_size=4,
+            batch_format="pyarrow",
+            num_cpus=0.5,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 8
+    assert (out["http_status"] == 200).all()
+    assert out["html"].str.contains("hello fixture").all()
