@@ -61,6 +61,11 @@ MAX_URL_LEN = 1024  # reference Url.h:9
 # canonicalize(u) == u and the urllib machinery can be skipped.  This is
 # a pure optimization — the slow path gives identical results.
 _CANONICAL_RX = re.compile(r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)+/[A-Za-z0-9._~/\-]*$")
+# URLs whose PATH could carry a strippable session-id pair must take the
+# slow path so /CFID/123 and /cfid/123 canonicalize identically
+_PATH_SESSION_RISK = re.compile(
+    r"(?i)oscsid|oscadminid|xtcsid|cftoken|cfid|phpsessid|jsessionid|saplb_"
+)
 
 # media/binary extensions excluded from the frontier
 # (reference: Url.cpp:1575-1741 s_badExtensions + wmv/mp4 additions at 1766,
@@ -84,7 +89,12 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
     None if the result is not a fetchable http(s) URL."""
     if url is None:
         return None
-    if not add_www and len(url) <= MAX_URL_LEN and _CANONICAL_RX.match(url):
+    if (
+        not add_www
+        and len(url) <= MAX_URL_LEN
+        and _CANONICAL_RX.match(url)
+        and not _PATH_SESSION_RISK.search(url)
+    ):
         return url  # already canonical (see _CANONICAL_RX)
     # strip embedded/leading/trailing whitespace + control chars
     # (reference strips \r\n\t and leading junk, Url.cpp:814-840)
@@ -126,10 +136,10 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
     if add_www and "." in host and _registered_domain(host) == host:
         netloc = "www." + netloc
     path = parts.path or "/"
-    path = _JSESSIONID_PATH.sub("", path)
+    path = strip_path_params(path)
     if not path.startswith("/"):
         path = "/" + path
-    query = _strip_session_params(parts.query)
+    query = strip_parameters(parts.query, _registered_domain(host))
     path = _encode_non_ascii(path)
     query = _encode_non_ascii(query)
     out = urlunsplit((scheme, netloc, path, query, ""))
@@ -150,15 +160,254 @@ def _encode_non_ascii(s: str) -> str:
     )
 
 
-def _strip_session_params(query: str) -> str:
+# ---------------------------------------------------------------------------
+# UrlParser::stripParameters port (the modern titledbVersion>122 path:
+# Url.cpp:347-790 with UrlComponent validator semantics,
+# UrlComponent.cpp:152-251).  Each rule is (key, partial, case_sensitive,
+# validators); a validator is (min_len, max_len, allow_empty, allow_bits,
+# mandatory_bits) with the reference's bit meanings.  A param is removed
+# when its key matches and ANY validator accepts its value.
+# ---------------------------------------------------------------------------
+
+A_DIGIT, A_HEX, A_ALPHA, A_ALPHA_LO, A_ALPHA_UP, A_PUNCT = 1, 2, 4, 8, 16, 32
+M_DIGIT, M_ALPHA_HEX, M_ALPHA, M_ALPHA_LO, M_ALPHA_UP, M_PUNCT = 1, 2, 4, 8, 16, 32
+_DEFAULT_V = (0, 0, True, 0, 0)  # s_defaultParamValidator (Url.cpp:355)
+_PUNCT_SET = frozenset("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def _validate(value: str, spec: tuple) -> bool:
+    """UrlComponent::Validator::isValid (UrlComponent.cpp:152-251)."""
+    mn, mx, allow_empty, allow, mandatory = spec
+    n = len(value)
+    if n == 0 and allow_empty:
+        return True
+    if (mn and n < mn) or (mx and mx < n):
+        return False
+    if allow == 0 and mandatory == 0:
+        return True
+    has_alpha = hex_lo = hex_up = nohex_lo = nohex_up = has_digit = has_punct = False
+    for c in value:
+        if c.isascii() and c.isalpha():
+            has_alpha = True
+            if "a" <= c <= "f":
+                hex_lo = True
+            elif "A" <= c <= "F":
+                hex_up = True
+            elif c.islower():
+                nohex_lo = True
+            else:
+                nohex_up = True
+        elif c.isdigit() and c.isascii():
+            has_digit = True
+        elif c in _PUNCT_SET:
+            has_punct = True
+    ok = True
+    if allow:
+        allow_alpha = bool(allow & (A_HEX | A_ALPHA | A_ALPHA_LO | A_ALPHA_UP))
+        ok = not (
+            (not allow_alpha and has_alpha)
+            or (not allow & (A_ALPHA | A_ALPHA_LO) and nohex_lo)
+            or (not allow & (A_ALPHA | A_ALPHA_UP) and nohex_up)
+            or (not allow_alpha and (hex_lo or hex_up))
+            or (not allow & (A_DIGIT | A_HEX) and has_digit)
+            or (not allow & A_PUNCT and has_punct)
+        )
+    if ok and mandatory:
+        ok = (
+            (not mandatory & (M_ALPHA_HEX | M_ALPHA | M_ALPHA_LO | M_ALPHA_UP) or has_alpha)
+            and (not mandatory & M_ALPHA_LO or hex_lo or nohex_lo)
+            and (not mandatory & M_ALPHA_UP or hex_up or nohex_up)
+            and (not mandatory & M_ALPHA_HEX or hex_lo or hex_up)
+            and (not mandatory & M_DIGIT or has_digit)
+            and (not mandatory & M_PUNCT or has_punct)
+        )
+    return ok
+
+
+# session-id query rules, reference order (Url.cpp:369-646)
+_QUERY_RULES = (
+    ("oscsid", False, False, (_DEFAULT_V,)),
+    ("oscadminid", False, False, (_DEFAULT_V,)),
+    ("XTCsid", False, True, (_DEFAULT_V,)),
+    ("cftoken", False, False, (_DEFAULT_V,)),
+    ("cfid", False, False, (_DEFAULT_V,)),
+    ("cftokenpass", False, False, (_DEFAULT_V,)),
+    ("atl_token", False, False, ((65, 0, True, 0, 0), (40, 40, True, A_HEX, 0), (10, 10, True, A_ALPHA | A_DIGIT, 0))),
+    # psession/POSTNUKESID keep the reference's 3-positional Validator
+    # calls, whose third arg lands in allowEmpty (faithful, bug included)
+    ("psession", False, False, ((24, 0, True, 0, 0),)),
+    ("postnukesid", False, False, ((16, 32, True, 0, 0),)),
+    ("galileosession", False, False, ((19, 19, False, 0, 0),)),
+    ("jsessionid", True, False, ((20, 0, True, 0, 0),)),
+    ("phpsessid", True, False, (_DEFAULT_V,)),
+    ("auth_sess", False, False, ((26, 32, True, A_DIGIT | A_ALPHA, 0),)),
+    ("ps_sess_id", False, False, ((32, 32, True, A_HEX, 0),)),
+    ("mysid", False, False, ((32, 32, False, A_HEX, 0), (22, 22, False, 0, M_ALPHA), (8, 8, False, A_ALPHA, 0))),
+    ("sid", False, False, (
+        (30, 0, False, 0, 0),
+        (26, 26, False, A_ALPHA | A_DIGIT, 0),
+        (6, 6, False, A_ALPHA | A_DIGIT, M_ALPHA_LO | M_ALPHA_UP),
+        (6, 6, False, A_ALPHA | A_DIGIT, M_ALPHA_LO | M_DIGIT),
+        (6, 6, False, A_ALPHA | A_DIGIT, M_ALPHA_UP | M_DIGIT),
+    )),
+    ("ses", False, False, (
+        (34, 34, False, A_ALPHA | A_DIGIT, M_ALPHA | M_DIGIT),
+        (32, 32, False, A_HEX, 0),
+        (26, 26, False, A_ALPHA | A_DIGIT, M_ALPHA | M_DIGIT),
+    )),
+    ("s", False, False, ((40, 40, False, A_HEX, M_ALPHA_HEX), (32, 32, False, A_HEX, M_ALPHA_HEX))),
+    ("session_id", False, False, ((16, 0, False, 0, M_ALPHA),)),
+    ("sessionid", False, False, ((20, 0, False, 0, M_ALPHA),)),
+    ("sessid", True, False, (
+        (52, 52, False, A_ALPHA | A_DIGIT, M_ALPHA | M_DIGIT),
+        (40, 40, False, A_HEX, M_ALPHA_HEX),
+        (32, 32, False, A_HEX, M_ALPHA_HEX),
+        (26, 26, False, A_ALPHA | A_DIGIT, M_ALPHA | M_DIGIT),
+    )),
+    ("session", False, False, ((20, 0, False, 0, M_ALPHA | M_DIGIT),)),
+    ("sess", False, False, ((20, 0, False, A_ALPHA | A_DIGIT, 0),)),
+    ("ts", False, False, ((13, 13, False, A_DIGIT, 0),)),
+    ("trk", False, False, ((0, 0, False, 0, M_ALPHA | M_PUNCT),)),
+)
+
+# unconditional tracking params (Url.cpp:663-719, 744)
+_TRACKING_PARAMS = frozenset(
+    {
+        "elqtrackid", "elq", "elqcampaignid", "elqaid", "elqat", "elq_mid",
+        "elq_cid", "elq2",
+        "utm_source", "utm_medium", "utm_term", "utm_content", "utm_campaign",
+        "utm_hp_ref", "utm_rid", "gclid", "gclsrc",
+        "pk_campaign", "pk_kwd", "pk_source", "pk_medium", "pk_keyword",
+        "pk_content", "pk_cid",
+        "owa_medium", "owa_source", "owa_campaign", "owa_ad", "owa_ad_type",
+        "wt.mc_id", "mc_cid", "mc_eid", "mkt_tok", "partnerref",
+    }
+)
+
+_AMAZON_PARAMS = frozenset({"tag", "coliid", "colid", "ref"})
+_EBAY_PARAMS = frozenset({"icep_ff3", "pub", "toolid", "campid", "customid", "afepn", "pid"})
+
+
+def strip_parameters(query: str, domain: str = "") -> str:
+    """Query-string half of stripParameters (Url.cpp:347-790)."""
     if not query:
         return ""
-    kept = [
-        kv
-        for kv in query.split("&")
-        if kv and kv.split("=", 1)[0].lower() not in SESSION_PARAMS
-    ]
-    return "&".join(kept)
+    # the reference's UrlParser splits query params on both '&' and ';'
+    # (UrlComponent separators) and preserves each param's separator
+    pieces = re.split(r"([&;])", query)
+    params = []  # [raw, key_raw, key_lower, value, deleted, leading_sep]
+    for i in range(0, len(pieces), 2):
+        raw = pieces[i]
+        if not raw:
+            continue
+        k, _, v = raw.partition("=")
+        params.append([raw, k, k.lower(), v, False, pieces[i - 1] if i else ""])
+    for key, partial, case, validators in _QUERY_RULES:
+        for p in params:
+            if p[4]:
+                continue
+            pk = p[1] if case else p[2]
+            kk = key if case else key.lower()
+            if (kk in pk) if partial else (pk == kk):
+                if any(_validate(p[3], v) for v in validators):
+                    p[4] = True
+    # apache dir-sort ?C=N;O=A (Url.cpp:627-661)
+    live = [p for p in params if not p[4]]
+    if len(live) <= 2:
+        for p in live:
+            if p[1] == "C" and p[3] in ("", "N", "M", "S", "D"):
+                p[4] = True
+            elif p[1] == "O" and p[3] in ("", "A", "D"):
+                p[4] = True
+    for p in params:
+        if not p[4] and p[2] in _TRACKING_PARAMS:
+            p[4] = True
+        # "who" (Url.cpp:727-741): r,-prefixed ≤130 or any ≥130
+        if not p[4] and p[2] == "who":
+            if (len(p[3]) <= 130 and p[3].startswith("r,")) or len(p[3]) >= 130:
+                p[4] = True
+    if domain:
+        if domain.startswith("amazon."):
+            for p in params:
+                if p[2] in _AMAZON_PARAMS:
+                    p[4] = True
+        elif domain.startswith("ebay."):
+            for p in params:
+                if p[2] in _EBAY_PARAMS:
+                    p[4] = True
+    live = [p for p in params if not p[4]]
+    out = []
+    for j, p in enumerate(live):
+        if j:
+            out.append(p[5] or "&")
+        out.append(p[0])
+    return "".join(out)
+
+
+# path-param (;key=value) rules: jsessionid (MATCH_PARTIAL, ≥20),
+# CFID/CFTOKEN (default), saplb_* (prefix) — Url.cpp:428-441, 450-456
+_PATHPARAM_RULES = (
+    ("jsessionid", True, ((20, 0, True, 0, 0),)),
+    ("cftoken", False, (_DEFAULT_V,)),
+    ("cfid", False, (_DEFAULT_V,)),
+    ("saplb_", True, (_DEFAULT_V,)),
+)
+
+# /name/value/ path-segment pairs (removePath calls)
+_PATHPAIR_RULES = (
+    ("oscsid", ((32, 32, True, A_HEX, 0), (26, 26, True, A_DIGIT | A_ALPHA, 0))),
+    ("oscadminid", ((32, 32, True, A_HEX, 0), (26, 26, True, A_DIGIT | A_ALPHA, 0))),
+    ("xtcsid", ((26, 52, True, A_DIGIT | A_ALPHA, 0),)),
+    ("cftoken", ((52, 52, True, 0, 0), (10, 14, True, 0, M_PUNCT), (6, 0, True, A_DIGIT, 0))),
+    ("cfid", ((0, 0, True, A_DIGIT, 0),)),
+    ("jsessionid", ((32, 32, False, A_HEX, 0),)),
+    ("phpsessid", ((26, 32, False, A_ALPHA | A_DIGIT, 0),)),
+)
+
+
+def strip_path_params(path: str) -> str:
+    """Path half of stripParameters: ``;key=value`` matrix params and
+    ``/name/value/`` segment pairs."""
+    if ";" in path:
+        segs = path.split(";")
+        kept = [segs[0]]
+        for seg in segs[1:]:
+            k, sep, v = seg.partition("=")
+            kl = k.lower()
+            dropped = False
+            for key, partial, validators in _PATHPARAM_RULES:
+                if (key in kl) if partial else (kl == key):
+                    if any(_validate(v, vv) for vv in validators):
+                        dropped = True
+                        break
+            if not dropped:
+                kept.append(seg)
+        path = ";".join(kept)
+    if "/" in path[1:]:
+        parts = path.split("/")
+        out = []
+        i = 0
+        while i < len(parts):
+            pl = parts[i].lower()
+            hit = None
+            for key, validators in _PATHPAIR_RULES:
+                if pl == key and i + 1 < len(parts):
+                    if any(_validate(parts[i + 1], vv) for vv in validators):
+                        hit = key
+                        break
+            if hit is not None:
+                i += 2  # drop name + value segments
+            else:
+                out.append(parts[i])
+                i += 1
+        path = "/".join(out)
+        if not path.startswith("/"):
+            path = "/" + path
+    return path or "/"
+
+
+def _strip_session_params(query: str, domain: str = "") -> str:
+    return strip_parameters(query, domain)
 
 
 # minimal multi-label public suffixes the fixtures/tests use; real

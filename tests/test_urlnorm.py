@@ -23,7 +23,14 @@ CASES = [
     ("http://example.com/a?b=1#frag", None, "http://example.com/a?b=1"),
     ("http://example.com/a?PHPSESSID=123&b=2", None, "http://example.com/a?b=2"),
     ("http://example.com/a?phpsessid=9", None, "http://example.com/a"),
-    ("http://example.com/a;jsessionid=ABC?x=1", None, "http://example.com/a?x=1"),
+    # jsessionid path param: validator requires a >=20-char value
+    # (Url.cpp:434, Validator(20,0,true)); short values are KEPT
+    (
+        "http://example.com/a;jsessionid=J4QMFWBG1SPRVWCKUUXCJ0W?x=1",
+        None,
+        "http://example.com/a?x=1",
+    ),
+    ("http://example.com/a;jsessionid=ABC?x=1", None, "http://example.com/a;jsessionid=ABC?x=1"),
     ("http://example.com/a?CFID=1&CFTOKEN=2&keep=3", None, "http://example.com/a?keep=3"),
     ("  http://example.com/a \n", None, "http://example.com/a"),
     ("p2.html", "http://h.test/dir/p1.html", "http://h.test/dir/p2.html"),
@@ -92,3 +99,50 @@ def test_percent_encoding_of_non_ascii():
     # IDNA host + unicode path together
     out = canonicalize("http://münchen.test/straße")
     assert out == "http://xn--mnchen-3ya.test/stra%C3%9Fe"
+
+
+def test_strip_parameters_validators():
+    """Modern stripParameters port (Url.cpp:347-790): validator-gated
+    session ids, unconditional tracking params, apache dir-sort, and
+    domain-specific affiliate params — reference example values."""
+    from open_source_search_engine_ray.functions.urlnorm import canonicalize as c
+
+    # sid: >=30 chars strips; short product-id-like values are KEPT
+    assert (
+        c("http://b.test/d?sid=f320a739cdecb4c3edef67e0123456789&p=1")
+        == "http://b.test/d?p=1"
+    )
+    assert c("http://b.test/d?sid=5&p=1") == "http://b.test/d?sid=5&p=1"
+    # sid 6-char mixed-case (MANDATORY lower+upper)
+    assert c("http://b.test/d?sid=aBcDeF") == "http://b.test/d"
+    assert c("http://b.test/d?sid=abcdef") == "http://b.test/d?sid=abcdef"
+    # sessionid needs >=20 chars with an alpha
+    assert (
+        c("http://b.test/d?sessionid=a1234567890123456789x")
+        == "http://b.test/d"
+    )
+    assert c("http://b.test/d?sessionid=123") == "http://b.test/d?sessionid=123"
+    # ts: exactly 13 digits (epoch millis)
+    assert c("http://b.test/d?ts=1422344216175&x=2") == "http://b.test/d?x=2"
+    assert c("http://b.test/d?ts=123&x=2") == "http://b.test/d?ts=123&x=2"
+    # tracking params strip unconditionally
+    assert (
+        c("http://b.test/p?utm_source=k&utm_medium=b&utm_campaign=bpp&id=7")
+        == "http://b.test/p?id=7"
+    )
+    assert c("http://b.test/p?gclid=XYZ") == "http://b.test/p"
+    # apache dir sort (only when <=2 query params; C/O case-sensitive)
+    assert c("http://b.test/dir/?C=N;O=A") == "http://b.test/dir/"
+    assert c("http://b.test/dir/?C=N&keep=1&x=2") == "http://b.test/dir/?C=N&keep=1&x=2"
+    # amazon affiliate tag only strips on amazon.* domains
+    assert c("http://www.amazon.com/dp/1?tag=deals-20&x=1") == "http://www.amazon.com/dp/1?x=1"
+    assert c("http://b.test/dp/1?tag=deals-20") == "http://b.test/dp/1?tag=deals-20"
+    # path-segment session pairs (osCommerce style)
+    assert (
+        c("http://b.test/search/keywords/chardonnay/osCsid/45de8edd68f8bc05e9fde0d2c528a619/sort/3d/")
+        == "http://b.test/search/keywords/chardonnay/sort/3d/"
+    )
+    # case-insensitive path pair: /CFID/<digits>/
+    assert c("http://b.test/app/CFID/322257/x") == c("http://b.test/app/cfid/322257/x")
+    # PHPSESSID query (partial matcher) still strips any value
+    assert c("http://b.test/a?PHPSESSID=737aec14eb7b360983d4fe39395&p=1") == "http://b.test/a?p=1"
