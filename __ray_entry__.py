@@ -521,7 +521,14 @@ def oracle_sql() -> dict[str, str]:
     from open_source_search_engine_ray.functions.adultcheck import DIRTY_NEEDLES
     from open_source_search_engine_ray.functions.textstats import STOPWORDS
 
+    from open_source_search_engine_ray.functions.textstats import _LANG_MARKERS
+
     _STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+    _LANG_VALUES = ",".join(
+        f"('{lang}', {i}, '{w}')"
+        for i, (lang, words) in enumerate(_LANG_MARKERS.items())
+        for w in sorted(words)
+    )
     _NEEDLE_VALUES = ",".join(f"('{needle}', {w})" for needle, w in DIRTY_NEEDLES)
     return {
         # near-dup family: the sketch pipelines run in full on the Ray
@@ -593,6 +600,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
                    ROUND(list_cosine_similarity(v, v2), 6) AS cosine
             FROM p ORDER BY vec_a
+        """,
+        # stopword-vote language ID (first-match-on-tie mirrors the
+        # Python dict iteration order via the ord column); the Unicode
+        # script path never fires on the ASCII fixture corpus
+        "lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents
+            ), m(lang, ord, w) AS (VALUES {_LANG_VALUES}),
+            sc AS (
+              SELECT d.doc_id, m.lang, m.ord, COUNT(*) AS score
+              FROM w d JOIN m ON d.w = m.w GROUP BY 1, 2, 3
+            ), best AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, ord ASC) AS rn
+              FROM sc
+            )
+            SELECT d.doc_id, d.lang, COALESCE(b.lang, 'xx') AS lang_pred
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "adult_flags": f"""
             SELECT doc_id, points, points >= 2 AS is_adult FROM (

@@ -166,7 +166,12 @@ def test_neardup_family_matches_duckdb_oracle(_ray):
     set) must equal the DuckDB oracle row-for-row — a single missed
     planted pair or a wrong similarity value fails here before it fails
     in the driver's CORRECTNESS gate."""
-    for key in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "embedding_near_dup"):
+    for key in (
+        "minhash_lsh_dedup",
+        "ngram_jaccard_pairs",
+        "embedding_near_dup",
+        "lang_id",
+    ):
         _oracle_compare(key, SF_DIR)
 
 
