@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": T.ann_topk_ivf,
         "minhash_lsh_dedup": T.minhash_planted_verify,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "dedup_groups": T.dedup_groups,
         "simhash_dedup": T.simhash_dedup,
         "embedding_near_dup": T.embedding_planted_verify,
         "lang_id": T.lang_id_pred,
@@ -589,6 +590,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON doc_b = nb.doc_id
             WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        # near-dup clustering: connected components over the exact-
+        # jaccard pair graph (recursive reachability; components are
+        # dup clusters, so the closure stays tiny), canonical label =
+        # component-minimum doc_id
+        "dedup_groups": """
+            WITH RECURSIVE pert AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     list_transform(string_split(text, ' '), (x, i) ->
+                        CASE WHEN (i-1) % 11 = doc_id % 11
+                        THEN 'tok' || CAST((doc_id + i - 1) % 97 AS VARCHAR)
+                        ELSE x END) AS toks
+              FROM documents WHERE doc_id % 4 = 0
+            ), aug AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              UNION ALL SELECT doc_id, toks FROM pert
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM aug
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b
+              FROM cand
+              JOIN sizes na ON doc_a = na.doc_id
+              JOIN sizes nb ON doc_b = nb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.4
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, MIN(v) AS group_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "embedding_near_dup": """
             WITH p AS (

@@ -524,6 +524,52 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def dedup_groups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph, labeling every document in a dup cluster with the
+    cluster's minimum doc_id (the canonical representative a training
+    pipeline would keep).  Returns (doc_id, group_id) for clustered
+    docs only — singletons are implicit.
+
+    Scale shape: the pair edges come from the bounded LSH-bucket
+    pipeline (only candidate signatures shuffle); components form via
+    union-find over the edge list.  At 10^10 docs the edge list is
+    still tiny relative to the corpus (dup pairs, not all pairs), and
+    the same label-propagation runs as iterated hash-join min rounds —
+    the map-reduce connected-components standard; the union-find here
+    is the per-partition base case of that loop.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": [], "group_id": []}).astype(
+            {"doc_id": "int64", "group_id": "int64"}
+        )
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:  # min-root union → root IS the canonical min
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    out = pd.DataFrame(
+        {"doc_id": nodes, "group_id": [find(n) for n in nodes]}
+    ).astype({"doc_id": "int64", "group_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_planted_verify(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup detection, verified on the planted dups:
     runs the full sketch pipeline (shingle→minhash→band→bucket shuffle),

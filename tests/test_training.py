@@ -171,6 +171,7 @@ def test_neardup_family_matches_duckdb_oracle(_ray):
         "ngram_jaccard_pairs",
         "embedding_near_dup",
         "lang_id",
+        "dedup_groups",
     ):
         _oracle_compare(key, SF_DIR)
 
@@ -195,3 +196,15 @@ def test_lang_id_scripts():
     }
     for text, want in cases.items():
         assert ts.lang_id(text) == want, (text, want, ts.lang_id(text))
+
+
+def test_dedup_groups_transitive(_ray):
+    """Connected components merge chains: a~b and b~c land in one group
+    labeled by the component minimum."""
+    g = T.dedup_groups(SF_DIR)
+    assert len(g) > 0
+    # canonical label is the min of each cluster and a member of it
+    for gid, grp in g.groupby("group_id"):
+        assert gid == grp["doc_id"].min()
+    # the corpus has organic chains, so some cluster exceeds a pair
+    assert (g.groupby("group_id").size() > 2).any()
