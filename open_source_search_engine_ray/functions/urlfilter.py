@@ -618,3 +618,35 @@ class SiteList:
         return np.array(
             [self._match_tag(u, d)[1] for u, d in zip(urls, domains)], dtype=object
         )
+
+    def match_and_tags_batch(self, urls, domains):
+        """(matched bool[], tag object[]) in ONE pass — admission calls
+        both, and _match_tag dominates the sitelist cost at scale.
+        Common fast path: domain-only pattern tables (no contains/prefix
+        lines) reduce to dict gets."""
+        n = len(urls)
+        if not (
+            self.contains
+            or self.prefixes
+            or self.neg_contains
+            or self.neg_prefixes
+        ):
+            dget = self.domains.get
+            neg = self.neg_domains
+            tags = np.empty(n, dtype=object)
+            ok = np.zeros(n, dtype=bool)
+            for i, d in enumerate(domains):
+                t = dget(d) if d not in neg else None
+                if t is None:
+                    tags[i] = ""
+                else:
+                    ok[i] = True
+                    tags[i] = t
+            return ok, tags
+        ok = np.zeros(n, dtype=bool)
+        tags = np.empty(n, dtype=object)
+        for i, (u, d) in enumerate(zip(urls, domains)):
+            m, t = self._match_tag(u, d)
+            ok[i] = m
+            tags[i] = t
+        return ok, tags

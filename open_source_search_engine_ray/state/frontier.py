@@ -582,8 +582,7 @@ class FrontierCore:
             nf = len(fresh_idx)
             doms_f = np.array([get_domain(h) for h in hosts_f], dtype=object)
             tld_f = np.array([d.rsplit(".", 1)[-1] for d in doms_f], dtype=object)
-            in_sl_f = self.site_list.matches_batch(urls_f, doms_f)
-            tag_f = self.site_list.tags_batch(urls_f, doms_f)
+            in_sl_f, tag_f = self.site_list.match_and_tags_batch(urls_f, doms_f)
             if self._auth_valid:
                 aset = self._auth_sites
                 auth_f = np.fromiter(
