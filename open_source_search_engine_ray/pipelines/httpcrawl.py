@@ -89,53 +89,97 @@ def run_http_crawl(
     user_agent: str = "gigablastbot",
     n_fetchers: int = 2,
     fetcher_kwargs: dict | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    max_waves: int = 0,
 ) -> dict:
     """Crawl a real HTTP web from ``seeds``; ``resolve`` maps host →
     (addr, port) (the localhost fixture seam; None entries DNS-fail).
     Runs on the wall clock — robots crawl-delays become real gaps.
     Returns {metrics, launch_log (pa.Table), url_seen, docs_dir}.
+
+    ``checkpoint_every``: write per-partition FrontierCore checkpoints
+    (+ MANIFEST with the crawl-clock position) every N waves, between
+    waves so no fetch is in flight.  ``resume`` restores them: the
+    crawl clock continues from the checkpointed position, doc files
+    from post-checkpoint waves are dropped (they respider), and the
+    launch log / URL-seen live in the checkpointed core buffers.
+    ``max_waves``: stop after N waves this call (simulated kill).
     """
+    import json
+
     import ray
 
     cfg = cfg or CrawlConfig(num_partitions=2, horizon_ms=120_000)
     os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    manifest_path = os.path.join(ckpt_dir, "MANIFEST.json")
     P = cfg.num_partitions
-    cores = [FrontierCore(p, cfg) for p in range(P)]
 
-    # seeds: canonicalize + pseudo-IP politeness keys ({} → every host
-    # gets the deterministic hash-derived first_ip)
-    cols = make_request_columns(seeds, {}, hop_count=0, added_time=0)
-    for p, sub in split_by_partition(cols, P):
-        cores[p].add_requests(sub)
+    # epoch offset: the filter DSL encodes "has a reply" as
+    # spidered_time > 0 (Spider.cpp treats time 0 as unset), so the
+    # crawl clock starts at 1s to keep first-second replies visible
+    epoch_ms = 1000
+    wave = 0
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        cores = []
+        for p in range(manifest["partitions"]):
+            with open(os.path.join(ckpt_dir, f"part-{p:05d}.ckpt"), "rb") as f:
+                cores.append(FrontierCore.from_checkpoint_bytes(f.read()))
+        P = manifest["partitions"]
+        wave = manifest["wave"]
+        epoch_ms = manifest["now"]  # clock continues where it stopped
+        for name in os.listdir(os.path.join(out_dir, "docs")):
+            if name.startswith("wave-") and int(name[5:10]) >= wave:
+                os.remove(os.path.join(out_dir, "docs", name))
+    else:
+        cores = [FrontierCore(p, cfg) for p in range(P)]
+        # seeds: canonicalize + pseudo-IP politeness keys ({} → every
+        # host gets the deterministic hash-derived first_ip)
+        cols = make_request_columns(seeds, {}, hop_count=0, added_time=0)
+        for p, sub in split_by_partition(cols, P):
+            cores[p].add_requests(sub)
+
+    def _checkpoint(now_ms: int) -> None:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        for p, core in enumerate(cores):
+            tmp = os.path.join(ckpt_dir, f".tmp-{p:05d}")
+            with open(tmp, "wb") as f:
+                f.write(core.checkpoint_bytes({"wave": wave}))
+            os.replace(tmp, os.path.join(ckpt_dir, f"part-{p:05d}.ckpt"))
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"wave": wave, "now": now_ms, "partitions": P}, f)
+        os.replace(tmp, manifest_path)
 
     Actor = ray.remote(num_cpus=0.1)(_FetchActor)
     kw = dict(fetcher_kwargs or {})
     kw.setdefault("resolve", resolve)
     fetchers = [Actor.remote(user_agent=user_agent, **kw) for _ in range(n_fetchers)]
 
-    launch_tables: list = []
-    wave = 0
-    # epoch offset: the filter DSL encodes "has a reply" as
-    # spidered_time > 0 (Spider.cpp treats time 0 as unset), so the
-    # crawl clock starts at 1s to keep first-second replies visible
-    epoch_ms = 1000
+    wave0 = wave
     t0 = time.monotonic()
     metrics = {"launched": 0, "completed": 0, "errors": 0, "docs": 0}
     while True:
         nxt = min(c.next_event_ms() for c in cores)
         if nxt >= INF or nxt > cfg.horizon_ms:
             break
+        if max_waves and wave - wave0 >= max_waves:
+            break
         wall = int((time.monotonic() - t0) * 1000) + epoch_ms
         if nxt > wall:
             time.sleep((nxt - wall) / 1000.0)
             wall = int((time.monotonic() - t0) * 1000) + epoch_ms
         now = max(wall, nxt)
+        if checkpoint_every and wave > wave0 and (wave - wave0) % checkpoint_every == 0:
+            _checkpoint(now)
         launches = [t for c in cores for t in [c.schedule(now, wave)] if t.num_rows]
         wave += 1
         if not launches:
             continue
         launch = pa.concat_tables(launches)
-        launch_tables.append(launch)
         metrics["launched"] += launch.num_rows
 
         # route each politeness domain to exactly one fetch actor
@@ -230,15 +274,23 @@ def run_http_crawl(
             )
             metrics["docs"] += len(doc_ids)
 
+    if checkpoint_every:
+        _checkpoint(int((time.monotonic() - t0) * 1000) + epoch_ms)
     for a in fetchers:
-        import ray
-
         ray.kill(a)
-    launch_log = (
-        pa.concat_tables(launch_tables)
-        if launch_tables
-        else pa.table({"url": pa.array([], pa.string())})
-    )
+    # the launch log and URL-seen live in the cores' durable buffers
+    # (checkpointed), so a resumed crawl reports the FULL history
+    buf_tables = [t for c in cores for t in c._launch_buf]
+    if buf_tables:
+        launch_log = pa.concat_tables(buf_tables)
+        idx = pa.compute.sort_indices(
+            launch_log,
+            sort_keys=[("wave", "ascending"), ("part_id", "ascending"), ("seq", "ascending")],
+        )
+        launch_log = launch_log.take(idx)
+    else:
+        launch_log = pa.table({"url": pa.array([], pa.string())})
+    metrics["launched"] = launch_log.num_rows  # full history incl. resume
     url_seen = sorted(
         (u, uh)
         for c in cores

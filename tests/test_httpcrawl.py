@@ -113,3 +113,44 @@ def test_url_seen_and_log(crawl):
     # the dead host was launched (then DNS-failed); denied was launched
     # (then robots-gated inside the fetch tier, as in Msg13)
     assert "http://nodns.test/x.html" in log["url"].to_pylist()
+
+
+def test_checkpoint_resume_socket_crawl(ray_session, tmp_path):
+    """Kill the socket crawl mid-run (max_waves), resume from the
+    per-partition checkpoints: the final doc set and URL-seen equal an
+    uninterrupted run, and post-checkpoint partial waves respider."""
+    srv = StaticSiteServer(SITES, ROBOTS).start()
+    try:
+        cfg = CrawlConfig(num_partitions=2, horizon_ms=60_000, rules=RULES)
+        seeds = ["http://a.test/", "http://cd.test/"]
+        full = run_http_crawl(
+            seeds, srv.resolve_map(), str(tmp_path / "full"),
+            cfg=cfg, n_fetchers=2,
+        )
+        out = str(tmp_path / "ck")
+        part = run_http_crawl(
+            seeds, srv.resolve_map(), out,
+            cfg=cfg, n_fetchers=2, checkpoint_every=2, max_waves=3,
+        )
+        import pyarrow.dataset as pads2
+
+        partial_docs = pads2.dataset(part["docs_dir"], format="parquet").to_table()
+        assert partial_docs.num_rows < 8  # genuinely interrupted
+        res = run_http_crawl(
+            seeds, srv.resolve_map(), out,
+            cfg=cfg, n_fetchers=2, checkpoint_every=2, resume=True,
+        )
+        docs = pads2.dataset(res["docs_dir"], format="parquet").to_table()
+        want = set(
+            pads2.dataset(full["docs_dir"], format="parquet")
+            .to_table()["doc_id"]
+            .to_pylist()
+        )
+        assert set(docs["doc_id"].to_pylist()) == want
+        # each page indexed exactly once despite the kill
+        assert docs.num_rows == len(want)
+        assert [u for _, u in res["url_seen"]] == [u for _, u in full["url_seen"]]
+        # the resumed launch log covers the full history (both runs)
+        assert res["launch_log"].num_rows >= full["launch_log"].num_rows
+    finally:
+        srv.stop()
