@@ -26,6 +26,7 @@ Large binary payloads are the reason ``batch_size`` here is small
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -33,7 +34,7 @@ import pyarrow as pa
 
 FEATURE_DIM = 32
 
-try:  # real decoders are not available in this container
+try:  # PIL/av would handle jpeg/png/video; not present in this container
     import PIL.Image  # noqa: F401
 
     HAVE_PIL = True
@@ -41,10 +42,64 @@ except ImportError:
     HAVE_PIL = False
 
 
+# ---------------------------------------------------------------------------
+# BMP codec (pure numpy — 24bpp BITMAPINFOHEADER): image payloads are
+# REAL spec-compliant bitmaps, so the decode stage exercises an actual
+# binary image decode + pixel resize + feature extraction with no
+# external libs.  jpeg/png stay behind the PIL import-try.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24bpp bottom-up BMP bytes."""
+    h, w, _ = rgb.shape
+    row = (w * 3 + 3) & ~3
+    img_size = row * h
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    buf = np.zeros((h, row), np.uint8)
+    buf[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return head + info + buf.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24bpp BMP bytes → (h, w, 3) uint8 RGB (top-down)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    hgt = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    row = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, np.uint8, count=row * abs(hgt), offset=off)
+    img = arr.reshape(abs(hgt), row)[:, : w * 3].reshape(abs(hgt), w, 3)[:, :, ::-1]
+    return img[::-1] if hgt > 0 else img
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure index gather."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def synth_payload(media_ref: str, kind: str) -> bytes:
-    """Deterministic opaque payload for a media ref (stands in for the
-    fetched image/video bytes)."""
+    """Deterministic payload for a media ref.  Images are REAL BMP
+    bytes (procedural pattern seeded by the ref hash); video/audio
+    payloads stay opaque (their codecs need av, PIL-gated)."""
     h = hashlib.sha256(media_ref.encode()).digest()
+    if kind == "image":
+        w = 32 + h[0] % 48
+        ht = 24 + h[1] % 40
+        yy, xx = np.mgrid[0:ht, 0:w]
+        img = np.empty((ht, w, 3), np.uint8)
+        img[:, :, 0] = (xx * h[2] + yy * h[3]) % 256
+        img[:, :, 1] = (xx ^ yy) + h[4] & 0xFF
+        img[:, :, 2] = (xx * xx + yy + h[5]) % 256
+        return encode_bmp(img)
     size = 256 + h[0] * 4
     reps = (size // len(h)) + 1
     return (h * reps)[:size]
@@ -100,15 +155,44 @@ class MediaDecodeStage:
     def __init__(self, target_size: int = 64, frame_stride: int = 5):
         self.target_size = target_size
         self.frame_stride = frame_stride
-        if HAVE_PIL:
-            # real path (unused in this container, kept for parity)
-            self._decode = self._decode_real
-        else:
-            self._decode = self._decode_fake
 
-    def _decode_real(self, payload: bytes, kind: str):
+    def _decode(self, payload: bytes, kind: str):
+        """Dispatch on the payload magic: BMP decodes for real (pure
+        numpy); jpeg/png would go through PIL (import-gated); anything
+        else falls back to the deterministic stub."""
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
+        if HAVE_PIL and payload[:2] in (b"\xff\xd8", b"\x89P"):
+            return self._decode_pil(payload, kind)
+        return self._decode_fake(payload, kind)
+
+    def _decode_bmp(self, payload: bytes):
+        """REAL image path: decode pixels, resize (aspect-preserving
+        nearest-neighbor to target_size on the short side), and extract
+        features from the RESIZED pixels — per-channel mean/std + a
+        26-bin grayscale histogram, L2-normalized."""
+        img = decode_bmp(payload)
+        h, w = img.shape[:2]
+        scale = self.target_size / min(w, h)
+        rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+        small = resize_nearest(img, rw, rh).astype(np.float64)
+        gray = small.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=FEATURE_DIM - 6, range=(0, 256))
+        feat = np.concatenate(
+            [
+                small.reshape(-1, 3).mean(axis=0) / 255.0,
+                small.reshape(-1, 3).std(axis=0) / 255.0,
+                hist.astype(np.float64) / gray.size,
+            ]
+        )
+        norm = np.linalg.norm(feat)
+        if norm > 0:
+            feat = feat / norm
+        return w, h, 1, feat
+
+    def _decode_pil(self, payload: bytes, kind: str):
         raise NotImplementedError(
-            "real decode requires PIL/av, not present in this container"
+            "jpeg/png decode requires PIL, not present in this container"
         )
 
     def _decode_fake(self, payload: bytes, kind: str):

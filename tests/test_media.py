@@ -53,3 +53,35 @@ def test_media_pipeline_e2e(ray_session):
     assert len(df) > 0
     assert {"doc_id", "media_ref", "kind", "width", "height", "resized_w", "feature_norm"} <= set(df.columns)
     assert (df["feature_norm"] - 1.0).abs().max() < 1e-3
+
+
+def test_bmp_roundtrip_and_real_decode():
+    """Image payloads are real 24bpp BMPs decoded with pure numpy:
+    encode→decode round-trips pixels exactly; the stage reports the
+    true header dimensions and resizes actual pixels."""
+    from open_source_search_engine_ray.pipelines.media import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)  # odd row pad
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    small = resize_nearest(img, 10, 7)
+    assert small.shape == (7, 10, 3)
+    # stage: width/height come from the real BMP header
+    payload = synth_payload("http://x.test/real.jpg", "image")
+    assert payload[:2] == b"BM"
+    w_hdr = decode_bmp(payload).shape[1]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d"]),
+            "media_ref": pa.array(["http://x.test/real.jpg"]),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([payload], pa.binary()),
+        }
+    )
+    out = MediaDecodeStage()(t)
+    assert out["width"][0].as_py() == w_hdr
+    assert abs(out["feature_norm"][0].as_py() - 1.0) < 1e-3
