@@ -78,6 +78,35 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[::-1] if hgt > 0 else img
 
 
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple:
+    """RIFF/WAVE bytes → (int16 samples ndarray, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = 8000
+    samples = np.empty(0, np.int16)
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        clen = struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            rate = struct.unpack_from("<I", data, pos + 12)[0]
+        elif cid == b"data":
+            samples = np.frombuffer(data, "<i2", count=clen // 2, offset=pos + 8)
+        pos += 8 + clen + (clen & 1)
+    return samples, rate
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure index gather."""
     h, w = img.shape[:2]
@@ -91,6 +120,15 @@ def synth_payload(media_ref: str, kind: str) -> bytes:
     bytes (procedural pattern seeded by the ref hash); video/audio
     payloads stay opaque (their codecs need av, PIL-gated)."""
     h = hashlib.sha256(media_ref.encode()).digest()
+    if kind == "audio":
+        # real PCM: a few hash-seeded sine partials, 0.1-0.6 s at 8 kHz
+        n = 800 + h[0] * 16
+        t = np.arange(n, dtype=np.float64)
+        wave = sum(
+            np.sin(2 * np.pi * (60 + h[i] * 8) * t / 8000.0) * (1.0 / (i + 1))
+            for i in range(1, 4)
+        )
+        return encode_wav((wave / np.abs(wave).max() * 20000).astype(np.int16))
     if kind == "image":
         w = 32 + h[0] % 48
         ht = 24 + h[1] % 40
@@ -162,9 +200,30 @@ class MediaDecodeStage:
         else falls back to the deterministic stub."""
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
+        if payload[:4] == b"RIFF":
+            return self._decode_wav(payload)
         if HAVE_PIL and payload[:2] in (b"\xff\xd8", b"\x89P"):
             return self._decode_pil(payload, kind)
         return self._decode_fake(payload, kind)
+
+    def _decode_wav(self, payload: bytes):
+        """REAL audio path: decode PCM, 'frames' = 100ms windows, and
+        features = L2-normalized log band energies of the magnitude
+        spectrum (the classic filterbank shape, pure numpy rFFT)."""
+        samples, rate = decode_wav(payload)
+        n = len(samples)
+        windows = max(1, n * 10 // rate)  # 100 ms frame count
+        spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+        edges = np.linspace(0, len(spec), FEATURE_DIM + 1).astype(int)
+        bands = np.array(
+            [spec[a:b].sum() for a, b in zip(edges[:-1], edges[1:])]
+        )
+        feat = np.log1p(bands)
+        norm = np.linalg.norm(feat)
+        if norm > 0:
+            feat = feat / norm
+        # width/height carry (sample_rate, ms duration) for audio rows
+        return rate, int(n * 1000 / rate), windows, feat
 
     def _decode_bmp(self, payload: bytes):
         """REAL image path: decode pixels, resize (aspect-preserving
