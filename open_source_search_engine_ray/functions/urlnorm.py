@@ -23,9 +23,11 @@ code.  The ported subset (each item has a reference anchor):
   escapes pass through untouched, as in the reference)
 
 Not ported (documented divergence, fixtures avoid them): ``..`` path
-folding subtleties for malformed paths, the versioned
-``stripParametersv122`` variants, mid-URL whitespace truncation (we
-strip whitespace instead of truncating at it).
+folding subtleties for malformed paths and the LEGACY v122 param-strip
+variants (``stripParametersv122`` applies only to titledbVersion ≤ 122
+records; this engine models the modern UrlParser path, ported further
+down).  Mid-URL whitespace now TRUNCATES there (Url.cpp:992-994) and
+``http://http://`` collapses (Url.cpp:1012-1017).
 """
 
 from __future__ import annotations
@@ -52,7 +54,8 @@ SESSION_PARAMS = frozenset(
 )
 
 _JSESSIONID_PATH = re.compile(r";jsessionid=[^;?#/]*", re.IGNORECASE)
-_WS = re.compile(r"[\s\x00-\x1f]+")
+_WS = re.compile(r"[\s\x00-\x1f]")
+_LEAD_WS = re.compile(r"^[\s\x00-\x1f]+")
 
 MAX_URL_LEN = 1024  # reference Url.h:9
 
@@ -96,9 +99,16 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
         and not _PATH_SESSION_RISK.search(url)
     ):
         return url  # already canonical (see _CANONICAL_RX)
-    # strip embedded/leading/trailing whitespace + control chars
-    # (reference strips \r\n\t and leading junk, Url.cpp:814-840)
-    u = _WS.sub("", url)
+    # leading whitespace/control junk stripped, then TRUNCATE at the
+    # first internal whitespace (Url.cpp:992-994: the copy loop breaks
+    # on is_wspace_a), and collapse the common http://http:// mistake
+    # (Url.cpp:1012-1017)
+    u = _LEAD_WS.sub("", url)
+    m = _WS.search(u)
+    if m:
+        u = u[: m.start()]
+    while len(u) > 14 and u[:14].lower() == "http://http://":
+        u = u[7:]
     if not u:
         return None
     if base:

@@ -33,6 +33,10 @@ CASES = [
     ("http://example.com/a;jsessionid=ABC?x=1", None, "http://example.com/a;jsessionid=ABC?x=1"),
     ("http://example.com/a?CFID=1&CFTOKEN=2&keep=3", None, "http://example.com/a?keep=3"),
     ("  http://example.com/a \n", None, "http://example.com/a"),
+    # mid-URL whitespace TRUNCATES (Url.cpp:992-994)
+    ("http://example.com/a b/c", None, "http://example.com/a"),
+    # common double-scheme mistake collapses (Url.cpp:1012-1017)
+    ("http://http://example.com/x", None, "http://example.com/x"),
     ("p2.html", "http://h.test/dir/p1.html", "http://h.test/dir/p2.html"),
     ("/p2.html", "http://h.test/dir/p1.html", "http://h.test/p2.html"),
     ("../up.html", "http://h.test/dir/p1.html", "http://h.test/up.html"),
