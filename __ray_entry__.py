@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": R.q_asof_join,
         "q_range_join": R.q_range_join,
         "q_window_running": R.q_window_running,
+        "q_cust_without_orders": R.q_cust_without_orders,
         "q_sample": R.q_sample,
         "q_union_distinct": R.q_union_distinct,
         # training-data ops
@@ -532,6 +533,16 @@ def oracle_sql() -> dict[str, str]:
     )
     _NEEDLE_VALUES = ",".join(f"('{needle}', {w})" for needle, w in DIRTY_NEEDLES)
     return {
+        "q_cust_without_orders": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
         # near-dup family: the sketch pipelines run in full on the Ray
         # side; the registered result is the planted-duplicate subset
         # (plus, for ngram, every organic pair over the exact-jaccard

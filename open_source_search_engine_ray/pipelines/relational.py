@@ -586,6 +586,45 @@ def q_window_running(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_cust_without_orders(sf_dir: str, min_total: float = 300_000.0) -> pd.DataFrame:
+    """Anti-join: customers per market segment with NO order above
+    ``min_total`` (NOT EXISTS).  Scale shape: a distributed LEFT OUTER
+    hash join (Dataset.join shuffle) of the customer table against the
+    FILTERED orders fact side, then a vectorized null-probe count —
+    unmatched customers surface exactly once with a null join key, so
+    no distinct pass over the fact side is needed.  (The crawl engine's
+    doledb/lock-table anti-joins are the stateful sibling of this
+    shape, state/frontier.py.)"""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        # the join drops the right-side key column, so matches carry an
+        # explicit marker; unmatched left rows get a null here
+        return t.select(["o_custkey"]).append_column(
+            "hit", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    big = orders.filter(expr=f"o_totalprice > {min_total}").map_batches(
+        mark, batch_format="pyarrow"
+    )
+    j = cust.join(big, "left_outer", JOIN_PARTS, on=("c_custkey",), right_on=("o_custkey",))
+
+    def count_anti(df: pd.DataFrame) -> pd.DataFrame:
+        anti = df[df["hit"].isna()]  # unmatched: exactly one row per cust
+        g = anti.groupby("c_mktsegment", sort=False).size()
+        return pd.DataFrame({"c_mktsegment": g.index, "n": g.to_numpy()})
+
+    parts = j.map_batches(count_anti, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("c_mktsegment", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_cust"})
+    )
+    out["n_cust"] = out["n_cust"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based sampling (seeded sampling at scale must
     be content-derived, not RNG-per-row, so reruns and the oracle
