@@ -188,6 +188,48 @@ def cmd_reindex(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rdb dump/merge surface: export the live frontier (from the crawl's
+    checkpoints) as an append-only LOG_COLUMNS parquet, then run the
+    distributed compaction job (dedupSpiderdbList semantics,
+    Spider.cpp:3714-4021) over it.  ``--raw-only`` skips the merge."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.compact import compact_frontier, export_log
+    from .pipelines.crawl import _ckpt_path
+    from .state.frontier import FrontierCore
+
+    manifest_path = os.path.join(args.out, "checkpoints", "MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        print(json.dumps({"error": "no checkpoints found", "out": args.out}))
+        return 1
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    os.makedirs(args.dest, exist_ok=True)
+    tables = []
+    for p in range(manifest["partitions"]):
+        with open(_ckpt_path(args.out, p), "rb") as f:
+            tables.append(export_log(FrontierCore.from_checkpoint_bytes(f.read())))
+    import pyarrow as pa
+
+    log = pa.concat_tables(tables)
+    raw_path = os.path.join(args.dest, "frontier_log.parquet")
+    pq.write_table(log, raw_path)
+    result = {"log_rows": log.num_rows, "raw": raw_path}
+    if not args.raw_only:
+        _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        compacted = compact_frontier(rd.read_parquet(raw_path)).to_pandas()
+        comp_path = os.path.join(args.dest, "frontier_compacted.parquet")
+        pq.write_table(pa.Table.from_pandas(compacted, preserve_index=False), comp_path)
+        result.update({"compacted_rows": len(compacted), "compacted": comp_path})
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_dump(args) -> int:
     import pyarrow.dataset as pads
 
@@ -247,6 +289,12 @@ def main(argv=None) -> int:
     r.add_argument("--contains", required=True)
     r.add_argument("--delete", action="store_true")
     r.set_defaults(fn=cmd_reindex)
+
+    m = sub.add_parser("compact")
+    m.add_argument("--out", required=True)
+    m.add_argument("--dest", required=True)
+    m.add_argument("--raw-only", action="store_true")
+    m.set_defaults(fn=cmd_compact)
 
     d = sub.add_parser("dump")
     d.add_argument("--out", required=True)

@@ -230,6 +230,84 @@ def dedup_log_group(g: pd.DataFrame) -> pd.DataFrame:
     return g.iloc[out_idx][LOG_COLUMNS].reset_index(drop=True)
 
 
+def export_log(core: FrontierCore) -> pa.Table:
+    """Dump a FrontierCore's live state as LOG_COLUMNS records (the Rdb
+    dump half of the dump/merge lifecycle, Rdb.cpp): every request row
+    in the store plus the newest reply per uh48.  Columnar slices — no
+    per-row Python.  (parent_ip is not retained per-row in the deduped
+    store — inlink c-blocks live aggregated — so it exports as 0; the
+    compaction/cold-start jobs do not consume it.)"""
+    from ..state.frontier import (
+        RQ_ADDURL,
+        RQ_FAKEIP,
+        RQ_INJ,
+        RQ_REINDEX,
+    )
+
+    st, rp = core.store, core.reps
+    n, m = st.n, rp.n
+    flags = st.flags[:n]
+    req = {
+        "rec": np.full(n, "request", dtype=object),
+        "url": st.url[:n],
+        "uh48": st.uh48[:n],
+        "first_ip": st.first_ip[:n],
+        "host": st.host[:n],
+        "dom_hash32": st.dom_hash32[:n],
+        "site_hash32": st.site_hash32[:n],
+        "hop_count": st.hop_count[:n],
+        "added_time": st.added_time[:n],
+        "parent_ip": np.zeros(n, dtype=np.int64),
+        "is_injecting": (flags & RQ_INJ) != 0,
+        "is_addurl": (flags & RQ_ADDURL) != 0,
+        "is_reindex": (flags & RQ_REINDEX) != 0,
+        "fake_first_ip": (flags & RQ_FAKEIP) != 0,
+        "spidered_time": np.zeros(n, dtype=np.int64),
+        "err_code": np.zeros(n, dtype=np.int64),
+        "err_count": np.zeros(n, dtype=np.int64),
+        "http_status": np.zeros(n, dtype=np.int64),
+        "crawl_delay_ms": np.zeros(n, dtype=np.int64),
+        "content_hash32": np.zeros(n, dtype=np.int64),
+    }
+    uhs = np.zeros(m, dtype=np.uint64)
+    for u, r in rp.row_of.items():
+        uhs[r] = u
+    rep = {
+        "rec": np.full(m, "reply", dtype=object),
+        "url": np.full(m, "", dtype=object),
+        "uh48": uhs,
+        "first_ip": np.zeros(m, dtype=np.int64),
+        "host": np.full(m, "", dtype=object),
+        "dom_hash32": np.zeros(m, dtype=np.int64),
+        "site_hash32": np.zeros(m, dtype=np.int64),
+        "hop_count": np.zeros(m, dtype=np.int64),
+        "added_time": np.zeros(m, dtype=np.int64),
+        "parent_ip": np.zeros(m, dtype=np.int64),
+        "is_injecting": np.zeros(m, dtype=bool),
+        "is_addurl": np.zeros(m, dtype=bool),
+        "is_reindex": np.zeros(m, dtype=bool),
+        "fake_first_ip": np.zeros(m, dtype=bool),
+        "spidered_time": rp.spidered_time[:m],
+        "err_code": rp.err_code[:m],
+        "err_count": rp.err_count[:m],
+        "http_status": rp.http_status[:m],
+        "crawl_delay_ms": rp.crawl_delay_ms[:m],
+        "content_hash32": rp.content_hash32[:m],
+    }
+    def tbl(d, k):
+        arr = d[k]
+        if arr.dtype == object:
+            return pa.array(arr.tolist(), pa.string())
+        return pa.array(arr)
+
+    both = [
+        pa.table({k: tbl(d, k) for k in LOG_COLUMNS}) for d in (req, rep) if len(d["uh48"])
+    ]
+    if not both:
+        return pa.Table.from_pydict({k: [] for k in LOG_COLUMNS})
+    return pa.concat_tables(both)
+
+
 def compact_frontier(log_ds):
     """Dataset[LOG_COLUMNS] → deduped Dataset (the compaction job)."""
 

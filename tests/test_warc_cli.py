@@ -138,3 +138,38 @@ def test_cli_inject_then_resume(tmp_path):
 
     launches = pq.read_table(f"{out}/launch_log.parquet")
     assert url in set(launches["url"].to_pylist())
+
+
+def test_cli_compact_frontier_log(tmp_path):
+    """`compact` exports the live frontier from checkpoints as an
+    append-only log parquet and runs the dedupSpiderdbList merge over
+    it (Rdb dump/merge surface)."""
+    out = str(tmp_path / "cmpout")
+
+    def run(*argv, timeout=240):
+        r = subprocess.run(
+            [sys.executable, "-m", "open_source_search_engine_ray.cli", *argv],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run(
+        "--num-cpus", "4", "crawl", "--out", out, "--hosts", "12",
+        "--max-pages", "3", "--partitions", "2", "--checkpoint-every", "2",
+    )
+    dest = str(tmp_path / "merged")
+    info = run("--num-cpus", "4", "compact", "--out", out, "--dest", dest)
+    assert info["log_rows"] > 0
+    assert 0 < info["compacted_rows"] <= info["log_rows"]
+    import pyarrow.parquet as pq
+
+    comp = pq.read_table(info["compacted"]).to_pandas()
+    # merge invariant: at most one (newest) reply per uh48 survives
+    reps = comp[comp["rec"] == "reply"]
+    assert reps["uh48"].is_unique
+    # requests kept their URLs; replies are uh48-keyed
+    assert (comp[comp["rec"] == "request"]["url"] != "").all()
