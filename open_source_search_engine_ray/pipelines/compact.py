@@ -246,17 +246,27 @@ def export_log(core: FrontierCore) -> pa.Table:
 
     st, rp = core.store, core.reps
     n, m = st.n, rp.n
-    flags = st.flags[:n]
+    # force-deleted URLs are unindexed (FrontierCore._delete pops the
+    # row_of/uh_rows entries but leaves columnar store rows in place);
+    # export only rows still indexed — the Rdb delete-key merge drops
+    # deleted records (Spider.cpp dedupSpiderdbList), so an export that
+    # resurrected them would diverge from the reference lifecycle
+    live = np.zeros(n, dtype=bool)
+    if core.row_of:
+        live[np.fromiter(core.row_of.values(), np.int64, len(core.row_of))] = True
+    lidx = np.nonzero(live)[0]
+    n = lidx.size
+    flags = st.flags[lidx]
     req = {
         "rec": np.full(n, "request", dtype=object),
-        "url": st.url[:n],
-        "uh48": st.uh48[:n],
-        "first_ip": st.first_ip[:n],
-        "host": st.host[:n],
-        "dom_hash32": st.dom_hash32[:n],
-        "site_hash32": st.site_hash32[:n],
-        "hop_count": st.hop_count[:n],
-        "added_time": st.added_time[:n],
+        "url": st.url[lidx],
+        "uh48": st.uh48[lidx],
+        "first_ip": st.first_ip[lidx],
+        "host": st.host[lidx],
+        "dom_hash32": st.dom_hash32[lidx],
+        "site_hash32": st.site_hash32[lidx],
+        "hop_count": st.hop_count[lidx],
+        "added_time": st.added_time[lidx],
         "parent_ip": np.zeros(n, dtype=np.int64),
         "is_injecting": (flags & RQ_INJ) != 0,
         "is_addurl": (flags & RQ_ADDURL) != 0,
@@ -269,9 +279,13 @@ def export_log(core: FrontierCore) -> pa.Table:
         "crawl_delay_ms": np.zeros(n, dtype=np.int64),
         "content_hash32": np.zeros(n, dtype=np.int64),
     }
-    uhs = np.zeros(m, dtype=np.uint64)
-    for u, r in rp.row_of.items():
-        uhs[r] = u
+    # replies of deleted uh48s are dropped for the same reason
+    rep_keep = [
+        (u, r) for u, r in rp.row_of.items() if u not in core.deleted
+    ]
+    m = len(rep_keep)
+    uhs = np.fromiter((u for u, _ in rep_keep), np.uint64, m)
+    ridx = np.fromiter((r for _, r in rep_keep), np.int64, m)
     rep = {
         "rec": np.full(m, "reply", dtype=object),
         "url": np.full(m, "", dtype=object),
@@ -287,12 +301,12 @@ def export_log(core: FrontierCore) -> pa.Table:
         "is_addurl": np.zeros(m, dtype=bool),
         "is_reindex": np.zeros(m, dtype=bool),
         "fake_first_ip": np.zeros(m, dtype=bool),
-        "spidered_time": rp.spidered_time[:m],
-        "err_code": rp.err_code[:m],
-        "err_count": rp.err_count[:m],
-        "http_status": rp.http_status[:m],
-        "crawl_delay_ms": rp.crawl_delay_ms[:m],
-        "content_hash32": rp.content_hash32[:m],
+        "spidered_time": rp.spidered_time[ridx],
+        "err_code": rp.err_code[ridx],
+        "err_count": rp.err_count[ridx],
+        "http_status": rp.http_status[ridx],
+        "crawl_delay_ms": rp.crawl_delay_ms[ridx],
+        "content_hash32": rp.content_hash32[ridx],
     }
     def tbl(d, k):
         arr = d[k]

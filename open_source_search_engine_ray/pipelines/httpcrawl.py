@@ -132,7 +132,7 @@ def run_http_crawl(
         wave = manifest["wave"]
         epoch_ms = manifest["now"]  # clock continues where it stopped
         for name in os.listdir(os.path.join(out_dir, "docs")):
-            if name.startswith("wave-") and int(name[5:10]) >= wave:
+            if name.startswith("wave-") and int(name[5:].split(".")[0]) >= wave:
                 os.remove(os.path.join(out_dir, "docs", name))
     else:
         cores = [FrontierCore(p, cfg) for p in range(P)]

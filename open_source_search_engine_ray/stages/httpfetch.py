@@ -136,7 +136,11 @@ def _parse_response(raw: bytes) -> _FetchResult:
         try:
             body = zlib.decompress(body)
         except zlib.error:
-            body = zlib.decompress(body, -zlib.MAX_WBITS)
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                fr.err_code = urlfilter.ERR_HTTP_500
+                return fr
     fr.body = body
     return fr
 

@@ -1442,6 +1442,15 @@ class FrontierCore:
     @classmethod
     def from_checkpoint_bytes(cls, blob: bytes) -> "FrontierCore":
         st = pickle.loads(blob)
+        if "store" not in st or "row_of" not in st:
+            # pre-columnar (dict-based requests/replies) checkpoint format:
+            # fail with a versioned message instead of a KeyError mid-resume
+            raise RuntimeError(
+                "checkpoint was written by a pre-columnar FrontierCore "
+                "(missing 'store'/'row_of'); this version cannot resume it — "
+                "restart the crawl from seeds (delete the out dir's "
+                "checkpoints/) or resume with the version that wrote it"
+            )
         core = cls(st["part_id"], st["cfg"], log_dir=st["log_dir"])
         for k in (
             "row_of",

@@ -188,3 +188,41 @@ def test_cold_start_schedule(ray_session):
         out.sort_values(["first_ip", "seq"]).reset_index(drop=True),
         out2.sort_values(["first_ip", "seq"]).reset_index(drop=True),
     )
+
+
+def test_export_log_skips_force_deleted():
+    """export_log must not resurrect force-deleted URLs: _delete pops the
+    row_of/uh_rows index but leaves columnar store rows in place; the Rdb
+    delete-key merge drops deleted records (Spider.cpp dedupSpiderdbList),
+    so the export must filter to still-indexed rows and live replies."""
+    from open_source_search_engine_ray.pipelines.compact import export_log
+    from open_source_search_engine_ray.stages.canonicalize import (
+        make_request_columns,
+    )
+    from open_source_search_engine_ray.state.frontier import FrontierCore
+
+    urls = [f"http://h{i}.test/p{i}.html" for i in range(6)]
+    ips = {f"h{i}.test": 100 + i for i in range(6)}
+    core = FrontierCore(0, CrawlConfig(num_partitions=1))
+    cols = make_request_columns(urls, ips, hop_count=1, added_time=10)
+    core.add_requests(cols)
+    dead = {int(cols["uh48"][1]), int(cols["uh48"][4])}
+    # a reply for one deleted and one live uh48
+    core.apply_reply_newest(
+        Rep(uh48=int(cols["uh48"][1]), spidered_time=50, err_code=0,
+            err_count=0, http_status=200, crawl_delay_ms=-1)
+    )
+    core.apply_reply_newest(
+        Rep(uh48=int(cols["uh48"][2]), spidered_time=60, err_code=0,
+            err_count=0, http_status=200, crawl_delay_ms=-1)
+    )
+    for u in dead:
+        core._delete(u)
+    t = export_log(core).to_pandas()
+    exported = set(t["uh48"].astype("uint64").tolist())
+    assert not (exported & dead)
+    live = {int(cols["uh48"][i]) for i in (0, 2, 3, 5)}
+    assert set(t[t["rec"] == "request"]["uh48"].astype("uint64")) == live
+    assert set(t[t["rec"] == "reply"]["uh48"].astype("uint64")) == {
+        int(cols["uh48"][2])
+    }
