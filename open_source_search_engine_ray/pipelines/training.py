@@ -137,7 +137,8 @@ def minhash_lsh_dedup(
     exploded = exploded.map_batches(add_part, batch_format="pandas")
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        # array-valued pair emission (see simhash pairs_part)
+        a_parts, b_parts, j_parts = [], [], []
         for _, grp in g.groupby("bucket", sort=True):
             if len(grp) < 2:
                 continue
@@ -147,14 +148,26 @@ def minhash_lsh_dedup(
             )
             order = np.argsort(ids, kind="stable")
             ids, sigm = ids[order], sigm[order]
-            for i in range(len(ids)):
+            for i in range(len(ids) - 1):
                 eq = (sigm[i + 1 :] == sigm[i]).mean(axis=1)
-                for off in np.nonzero(eq >= threshold)[0]:
-                    j = i + 1 + off
-                    if ids[i] != ids[j]:
-                        rows.append((int(ids[i]), int(ids[j]), round(float(eq[off]), 4)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+                m = (eq >= threshold) & (ids[i + 1 :] != ids[i])
+                if m.any():
+                    b = ids[i + 1 :][m]
+                    a_parts.append(np.full(b.size, ids[i], dtype=np.int64))
+                    b_parts.append(b)
+                    j_parts.append(np.round(eq[m], 4))
+        if not a_parts:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_parts),
+                "doc_b": np.concatenate(b_parts).astype(np.int64),
+                "jaccard": np.concatenate(j_parts).astype(np.float64),
+            }
         )
 
     cand = exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
@@ -226,23 +239,38 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     exploded = exploded.map_batches(add_part, batch_format="pandas")
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        # pair emission is fully array-valued: per anchor row i the
+        # surviving (i, j>i) pairs append as numpy slices, never as
+        # per-pair Python tuples (a bucket family can emit 10^5+ pairs)
+        a_parts, b_parts, h_parts = [], [], []
         for _, grp in g.groupby("bucket", sort=True):
             if len(grp) < 2:
                 continue
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             sh = grp["sh"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
+            for i in range(len(ids) - 1):
                 hd = dd.hamming64(
                     np.full(len(ids) - i - 1, sh[i], dtype=np.uint64), sh[i + 1 :]
                 )
-                for off in np.nonzero(hd <= max_hamming)[0]:
-                    j = i + 1 + off
-                    if ids[i] != ids[j]:
-                        rows.append((int(ids[i]), int(ids[j]), int(hd[off])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+                m = (hd <= max_hamming) & (ids[i + 1 :] != ids[i])
+                if m.any():
+                    b = ids[i + 1 :][m]
+                    a_parts.append(np.full(b.size, ids[i], dtype=np.int64))
+                    b_parts.append(b)
+                    h_parts.append(hd[m])
+        if not a_parts:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_parts),
+                "doc_b": np.concatenate(b_parts).astype(np.int64),
+                "hamming": np.concatenate(h_parts).astype(np.int64),
+            }
         )
 
     out = exploded.groupby("bpart").map_groups(pairs_part, batch_format="pandas").to_pandas()
