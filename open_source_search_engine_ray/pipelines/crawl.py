@@ -50,6 +50,7 @@ from ..state.frontier import (
     REQUEST_COLS,
     CrawlConfig,
     FrontierCore,
+    transit_ck32,
 )
 
 DOC_SCHEMA = pa.schema(
@@ -136,6 +137,9 @@ def route_back_payloads(batch: pa.Table, out_dir: str) -> dict:
     for p, sub in _group_parts(reqs):
         cols = _table_to_cols(sub, REQUEST_COLS)
         verify_request_cols(cols, "routeback-out")
+        # full hash64b gate passed above; the actor-in gate validates the
+        # plasma/pickle transit leg with this cheap checksum instead
+        cols["ck32"] = transit_ck32(cols["url"], cols["uh48"])
         payloads.setdefault(int(p), {})["req_cols"] = cols
         payloads[int(p)]["req_token"] = _content_token("req", sub)
     for p, sub in _group_parts(reps):
@@ -563,13 +567,17 @@ class _RayCrawlCtx:
         self.ncpu = int(ray.cluster_resources().get("CPU", 8))
         self._wave_trace: list = []  # (launch rows, wall s) per wave
         self._pending: dict = {}  # partition -> [payload blobs] awaiting delivery
+        self._apply_acks: list = []  # in-flight eager apply_pending futures
         # task_compute is CPU-seconds summed over chunk tasks
-        # (fetch+parse); schedule/prep/tasks are driver wall time
+        # (fetch+parse); a_apply/a_scan are actor-side seconds from the
+        # schedule RPC; schedule/prep/tasks are driver wall time
         self.timing = {
             "schedule": 0.0,
             "prep": 0.0,
             "tasks": 0.0,
             "task_compute": 0.0,
+            "a_apply": 0.0,
+            "a_scan": 0.0,
         }
         self.t_start = _time.monotonic()
         self.done = False
@@ -643,7 +651,9 @@ class _RayCrawlCtx:
         while pending_s:
             done, pending_s = ray.wait(pending_s, num_returns=1)
             p = sched[done[0]]
-            blob, ev = ray.get(done[0])
+            blob, ev, stats = ray.get(done[0])
+            self.timing["a_apply"] += stats["apply_s"]
+            self.timing["a_scan"] += stats["scan_s"]
             self.events[p] = ev
             t = ipc_to_table(blob)
             if not t.num_rows:
@@ -672,17 +682,39 @@ class _RayCrawlCtx:
         if futs:
             _t0 = _time.perf_counter()
             # no apply barrier: only the tiny meta object is fetched;
-            # payload REFS are pended and ride the NEXT schedule RPC to
-            # their partition, which pulls the bytes from the object
-            # store itself (applies are commutative + token-idempotent,
-            # so delivery order across tasks is free)
-            metas = ray.get([refs[0] for refs in futs])
-            for meta, refs in zip(metas, futs):
+            # payload REFS are forwarded EAGERLY — as chunk tasks finish,
+            # their per-partition payloads go out via apply_pending in
+            # batched flush rounds, so the apply CPU on the frontier
+            # actors overlaps the still-running chunk tasks and the next
+            # schedule RPC only scans.  Per-caller actor FIFO ordering
+            # guarantees every forwarded apply executes before the next
+            # wave's schedule_ipc on that actor; applies stay commutative
+            # + token-idempotent, so delivery order across tasks is free.
+            # Acks are drained lazily (error propagation only).
+            meta_of = {refs[0]: refs for refs in futs}
+            flush_every = max(1, -(-len(futs) // 4))
+            to_flush: dict = {}
+            arrived = 0
+            pending_m = list(meta_of)
+            while pending_m:
+                done_m, pending_m = ray.wait(pending_m, num_returns=1)
+                refs = meta_of[done_m[0]]
+                meta = ray.get(done_m[0])
                 for p in meta["parts"]:
-                    self._pending.setdefault(p, []).append(refs[1 + p])
+                    to_flush.setdefault(p, []).append(refs[1 + p])
                     self.events[p] = 0  # completions/adds re-arm asap
                 self.timing["task_compute"] += meta["compute_s"]
+                arrived += 1
+                if arrived % flush_every == 0 or not pending_m:
+                    self._apply_acks.extend(
+                        self.actors[p].apply_pending.remote(rr)
+                        for p, rr in to_flush.items()
+                    )
+                    to_flush.clear()
             self.timing["tasks"] += _time.perf_counter() - _t0
+            if len(self._apply_acks) > 1024:
+                ray.get(self._apply_acks)
+                self._apply_acks.clear()
         if ds_tables:
             tables = ds_tables
             ds = rd.from_arrow(tables)
@@ -745,25 +777,31 @@ class _RayCrawlCtx:
         return True
 
     def _flush_pending(self):
-        """Deliver any pended route-back payload refs now (end of crawl
-        or pre-checkpoint): partitions that will not be scheduled again
-        still need their final replies/requests applied."""
-        if not self._pending:
-            return
+        """Deliver any pended route-back payload refs and drain eager-
+        apply acks (end of crawl or pre-checkpoint): every apply must be
+        in actor state — and any apply error surfaced — before a
+        checkpoint or finalize reads it."""
         futs = [
             self.actors[p].apply_pending.remote(refs)
             for p, refs in self._pending.items()
         ]
         self._pending.clear()
-        self.ray.get(futs)
+        futs.extend(self._apply_acks)
+        self._apply_acks = []
+        if futs:
+            self.ray.get(futs)
 
     def finalize(self) -> CrawlResult:
         ray = self.ray
         self._flush_pending()
         if os.environ.get("GRAFT_TIMING"):
+            eager_apply = sum(
+                ray.get([a.get_apply_secs.remote() for a in self.actors])
+            )
             print(
                 f"[crawl timing] waves={self.waves} "
                 + " ".join(f"{k}={v:.2f}s" for k, v in self.timing.items())
+                + f" eager_apply={eager_apply:.2f}s"
             )
             tr = sorted(self._wave_trace, key=lambda x: -x[1])
             small = [w for r, w, _ in self._wave_trace if r <= 2048]
@@ -838,27 +876,27 @@ def _schedule_ipc(
     ``apply_blobs``: route-back payloads destined to THIS partition from
     the previous wave (pickled bytes or ObjectRefs of them — refs are
     pulled from the object store here, never through the driver),
-    applied before the scan — fusing the apply barrier into the
-    schedule RPC halves the serial round trips per wave.  Partition
-    state is independent, so apply-just-before-own-schedule is
-    equivalent to the old global apply barrier."""
+    applied before the scan.  The steady-state driver forwards payloads
+    eagerly via apply_pending as chunk tasks finish (per-caller actor
+    FIFO ordering makes them apply before this RPC), so this argument
+    is normally None; it remains for the flush/fallback paths.
+    Partition state is independent, so apply-just-before-own-schedule
+    is equivalent to the old global apply barrier.
+
+    Returns (Arrow IPC bytes, next-event, {apply_s, scan_s}) — the
+    actor-side seconds let the driver's GRAFT_TIMING report split the
+    serial floor into apply vs scan."""
+    import time as _time
+
+    t0 = _time.process_time()
     if apply_blobs:
-        import pickle
-
-        import ray
-
-        for blob in apply_blobs:
-            if not isinstance(blob, bytes):
-                blob = ray.get(blob)
-            p = pickle.loads(blob)
-            if p.get("req_cols") is not None:
-                self.add_requests(p["req_cols"], token=p.get("req_token"))
-            if p.get("rep_cols") is not None:
-                self.complete(p["rep_cols"], token=p.get("rep_token"))
+        self.apply_pending(apply_blobs)
+    t1 = _time.process_time()
     t = self.schedule(now_ms, wave_no)
     if t.num_rows:
         _verify_launch_table(t, "actor-out")
-    return table_to_ipc(t), self.next_event_ms()
+    stats = {"apply_s": t1 - t0, "scan_s": _time.process_time() - t1}
+    return table_to_ipc(t), self.next_event_ms(), stats
 
 
 def _add_requests_blob(self, blob: bytes, token=None) -> int:
@@ -876,12 +914,15 @@ def _complete_blob(self, blob: bytes, token=None) -> int:
 
 
 def _apply_pending(self, blobs) -> int:
-    """Apply a list of route-back payloads (bytes or ObjectRefs) outside
-    a schedule call — used by the driver's pre-checkpoint/final flush."""
+    """Apply a list of route-back payloads (bytes or ObjectRefs): the
+    steady-state eager-delivery surface (payloads forwarded per chunk
+    task as it finishes) and the driver's pre-checkpoint/final flush."""
     import pickle
+    import time as _time
 
     import ray
 
+    t0 = _time.process_time()
     n = 0
     for blob in blobs:
         if not isinstance(blob, bytes):
@@ -891,7 +932,16 @@ def _apply_pending(self, blobs) -> int:
             n += self.add_requests(p["req_cols"], token=p.get("req_token"))
         if p.get("rep_cols") is not None:
             n += self.complete(p["rep_cols"], token=p.get("rep_token"))
+    # process_time: CPU seconds, immune to preemption under
+    # oversubscription (16 actors + workers on few cores)
+    self._apply_secs = getattr(self, "_apply_secs", 0.0) + (
+        _time.process_time() - t0
+    )
     return n
+
+
+def _get_apply_secs(self) -> float:
+    return getattr(self, "_apply_secs", 0.0)
 
 
 def _apply_blob(self, blob: bytes) -> int:
@@ -916,6 +966,7 @@ FrontierCore.add_requests_blob = _add_requests_blob
 FrontierCore.complete_blob = _complete_blob
 FrontierCore.apply_blob = _apply_blob
 FrontierCore.apply_pending = _apply_pending
+FrontierCore.get_apply_secs = _get_apply_secs
 
 
 # ---------------------------------------------------------------------------
@@ -980,7 +1031,12 @@ class _LocalCrawlCtx:
             if docs.num_rows:
                 _write_doc_table(docs, self.out_dir, str(docs["wave"][0].as_py()))
             for p, sub in _group_parts(reqs):
-                self.cores[p].add_requests(_table_to_cols(sub, REQUEST_COLS))
+                lcols = _table_to_cols(sub, REQUEST_COLS)
+                # mirror the ray path's gate placement: full hash64b at
+                # route-back build, cheap checksum at actor-in
+                verify_request_cols(lcols, "routeback-out")
+                lcols["ck32"] = transit_ck32(lcols["url"], lcols["uh48"])
+                self.cores[p].add_requests(lcols)
                 self.events[p] = 0
             for p, sub in _group_parts(reps):
                 self.cores[p].complete(_table_to_cols(sub, REPLY_COLS))

@@ -106,6 +106,11 @@ def make_request_columns(
         "fake_first_ip": np.zeros(n, dtype=bool),
         **url_flag_columns(urls),
     }
+    # uh48 was just computed from these urls (this IS the origin); the
+    # transit checksum lets the actor-in integrity gate run at C speed
+    from ..state.frontier import transit_ck32
+
+    cols["ck32"] = transit_ck32(cols["url"], cols["uh48"])
     return cols
 
 
@@ -168,6 +173,9 @@ def make_reindex_request_cols(urls, added_time=0, force_delete=False) -> dict:
         "fake_first_ip": np.ones(n, dtype=bool),
         **url_flag_columns(keep),
     }
+    from ..state.frontier import transit_ck32
+
+    cols["ck32"] = transit_ck32(cols["url"], cols["uh48"])
     return cols
 
 

@@ -218,6 +218,24 @@ RP_PERMALINK = 4
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def transit_ck32(urls, uh: np.ndarray) -> np.ndarray:
+    """Cheap url↔uh48 transit checksum: crc32(url) XOR both uh48 halves.
+    Payload builders that have already passed the FULL hash64b gate
+    (verify_request_cols at routeback-out) attach this column; the
+    actor-in gate then validates transit integrity at C speed instead of
+    recomputing the pure-Python Gigablast hash per row (~20x cheaper,
+    same crash-loudly-on-corruption property for url, uh48 or the
+    checksum itself)."""
+    from zlib import crc32
+
+    n = len(urls)
+    c = np.fromiter((crc32(u.encode("utf-8")) for u in urls), np.uint64, n)
+    u64 = np.asarray(uh, dtype=np.uint64)
+    return (c ^ (u64 & np.uint64(0xFFFFFFFF)) ^ (u64 >> np.uint64(16))).astype(
+        np.int64
+    )
+
+
 class _ReqStore:
     """Columnar SpiderRequest storage: one row per live (uh48, srh)
     request variant.  Numpy structure-of-arrays with doubling growth;
@@ -421,6 +439,7 @@ class FrontierCore:
         # frontier log (deduped, columnar)
         self.store = _ReqStore()
         self.reps = _RepStore()
+        self._dom_cache: dict = {}  # host -> (domain, tld) memo
         self.row_of: dict[tuple, int] = {}  # (uh48, srh) -> store row
         self.uh_rows: dict[int, int | list] = {}  # uh48 -> row | [rows]
         self.inlinks: dict[int, set] = {}  # uh48 -> parent c-blocks (SpiderColl.cpp:2701-2742)
@@ -499,15 +518,30 @@ class FrontierCore:
             return 0
         urls = np.asarray(cols["url"], dtype=object)
         if self.cfg.verify_integrity:
-            want = gbhash.uh48_batch(list(urls))
             got = np.asarray(cols["uh48"], dtype=np.uint64)
-            if not (want == got).all():
-                bad = int(np.nonzero(want != got)[0][0])
-                raise RuntimeError(
-                    f"request-cols corruption at actor-in(part {self.part_id}): "
-                    f"row {bad}/{n} url={urls[bad]!r} "
-                    f"uh48={int(got[bad])} recomputed={int(want[bad])}"
-                )
+            ck = cols.get("ck32")
+            if ck is not None:
+                # payload already passed the full hash64b gate at build
+                # time; validate the transit leg with the cheap checksum
+                want_ck = transit_ck32(urls, got)
+                if not (want_ck == np.asarray(ck, dtype=np.int64)).all():
+                    bad = int(
+                        np.nonzero(want_ck != np.asarray(ck, dtype=np.int64))[0][0]
+                    )
+                    raise RuntimeError(
+                        f"request-cols transit corruption at actor-in"
+                        f"(part {self.part_id}): row {bad}/{n} "
+                        f"url={urls[bad]!r} uh48={int(got[bad])}"
+                    )
+            else:
+                want = gbhash.uh48_batch(list(urls))
+                if not (want == got).all():
+                    bad = int(np.nonzero(want != got)[0][0])
+                    raise RuntimeError(
+                        f"request-cols corruption at actor-in(part {self.part_id}): "
+                        f"row {bad}/{n} url={urls[bad]!r} "
+                        f"uh48={int(got[bad])} recomputed={int(want[bad])}"
+                    )
         uh = np.asarray(cols["uh48"]).astype(np.uint64)
         hop = np.asarray(cols["hop_count"]).astype(np.int64)
         added = np.asarray(cols["added_time"]).astype(np.int64)
@@ -580,8 +614,22 @@ class FrontierCore:
             hosts_f = np.asarray(cols["host"], dtype=object)[fresh_idx]
             urls_f = urls[fresh_idx]
             nf = len(fresh_idx)
-            doms_f = np.array([get_domain(h) for h in hosts_f], dtype=object)
-            tld_f = np.array([d.rsplit(".", 1)[-1] for d in doms_f], dtype=object)
+            # host → (domain, tld) memo: hosts repeat across a crawl's
+            # requests far more than they vary, and get_domain's
+            # registered-domain logic was a per-row hot spot; bounded so
+            # a 10^10-URL frontier can't grow it without limit
+            dcache = self._dom_cache
+            if len(dcache) > (1 << 20):
+                dcache.clear()
+            doms_f = np.empty(nf, dtype=object)
+            tld_f = np.empty(nf, dtype=object)
+            for j, h in enumerate(hosts_f):
+                v = dcache.get(h)
+                if v is None:
+                    d = get_domain(h)
+                    v = (d, d.rsplit(".", 1)[-1])
+                    dcache[h] = v
+                doms_f[j], tld_f[j] = v
             in_sl_f, tag_f = self.site_list.match_and_tags_batch(urls_f, doms_f)
             if self._auth_valid:
                 aset = self._auth_sites
@@ -910,12 +958,20 @@ class FrontierCore:
             gather.extend(rws)
         st = self.store
         rp = self.reps
-        # per-launch column accumulators (one numpy slice appended per
-        # span — the launch table is assembled columnar, never row dicts)
-        acc: dict[str, list] = {k: [] for k in (
+        # fast-path spans record ONLY their candidate-index array +
+        # (position, ip, gap) metadata; all column data is gathered once
+        # per wave at table-build time — the ~10 micro-gathers per span
+        # dominated the scan on wide (many-due-IP) webs.  The rare exact
+        # path (select_winners) still materializes per span into `mat`;
+        # position arrays keep the final row order identical to the
+        # sequential per-IP scan.
+        fast_cand: list = []  # per-span global candidate-index arrays
+        fast_meta: list = []  # per-span (pos0, nl, ip, gap)
+        mat: dict[str, list] = {k: [] for k in (
             "url", "uh48", "first_ip", "host", "dom_hash32", "hop_count",
             "added_time", "priority", "ufn", "err_count", "launch_ms",
         )}
+        mat_pos: list = []
         n_launch = 0
         if gather:
             rows = np.asarray(gather, dtype=np.int64)
@@ -1009,28 +1065,10 @@ class FrontierCore:
                     chain = 1 + self.cfg.wave_window_ms // gap
                     allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
                 take = ci[:allowed]
-                g = rows[s:e][take]
-                k_take = k_arr[:allowed]
                 nl = len(take)
-                acc["url"].append(st.url[g])
-                acc["uh48"].append(st.uh48[g])
-                acc["first_ip"].append(np.full(nl, ip, dtype=np.int64))
-                acc["host"].append(st.host[g])
-                acc["dom_hash32"].append(st.dom_hash32[g])
-                acc["hop_count"].append(st.hop_count[g])
-                acc["added_time"].append(st.added_time[g])
-                acc["priority"].append(prio_all[s:e][take])
-                acc["ufn"].append(k_take)
-                rrr = st.rep_row[g]
-                if rp.n:
-                    ec = np.where(rrr >= 0, rp.err_count[np.where(rrr >= 0, rrr, 0)], 0)
-                else:
-                    ec = np.zeros(nl, dtype=np.int64)
-                acc["err_count"].append(ec)
-                acc["launch_ms"].append(
-                    now_ms + np.arange(nl, dtype=np.int64) * gap  # sameIpWait spacing
-                )
-                launched_uh = st.uh48[g].tolist()
+                fast_cand.append(s + take)
+                fast_meta.append((n_launch, nl, ip, gap))
+                launched_uh = span_uh[take].tolist()
             else:
                 # exact path: duplicate uh48 flag-variants or winner-tree
                 # overflow — run the reference eviction algorithm on Req
@@ -1073,32 +1111,33 @@ class FrontierCore:
                     allowed = min(int(self.prog.max_spiders_per_ip[top_k]), int(chain))
                 ws = winners[:allowed]
                 nl = len(ws)
-                acc["url"].append(np.array([w.req.url for w in ws], dtype=object))
-                acc["uh48"].append(np.array([w.req.uh48 for w in ws], dtype=np.uint64))
-                acc["first_ip"].append(np.full(nl, ip, dtype=np.int64))
-                acc["host"].append(np.array([w.req.host for w in ws], dtype=object))
-                acc["dom_hash32"].append(
+                mat["url"].append(np.array([w.req.url for w in ws], dtype=object))
+                mat["uh48"].append(np.array([w.req.uh48 for w in ws], dtype=np.uint64))
+                mat["first_ip"].append(np.full(nl, ip, dtype=np.int64))
+                mat["host"].append(np.array([w.req.host for w in ws], dtype=object))
+                mat["dom_hash32"].append(
                     np.array([w.req.dom_hash32 for w in ws], dtype=np.int64)
                 )
-                acc["hop_count"].append(
+                mat["hop_count"].append(
                     np.array([w.req.hop_count for w in ws], dtype=np.int64)
                 )
-                acc["added_time"].append(
+                mat["added_time"].append(
                     np.array([w.req.added_time for w in ws], dtype=np.int64)
                 )
-                acc["priority"].append(
+                mat["priority"].append(
                     np.array([w.priority for w in ws], dtype=np.int64)
                 )
                 k_take = np.array([ufn_by_uh[w.req.uh48] for w in ws], dtype=np.int64)
-                acc["ufn"].append(k_take)
+                mat["ufn"].append(k_take)
                 ecs = []
                 for w in ws:
                     rrow = rp.row_of.get(w.req.uh48)
                     ecs.append(int(rp.err_count[rrow]) if rrow is not None else 0)
-                acc["err_count"].append(np.array(ecs, dtype=np.int64))
-                acc["launch_ms"].append(
+                mat["err_count"].append(np.array(ecs, dtype=np.int64))
+                mat["launch_ms"].append(
                     now_ms + np.arange(nl, dtype=np.int64) * gap
                 )
+                mat_pos.append(np.arange(n_launch, n_launch + nl, dtype=np.int64))
                 launched_uh = [w.req.uh48 for w in ws]
             # per-IP launch budget bookkeeping (SpiderLoop.cpp:943-1072)
             self.in_flight_uh48.update(launched_uh)
@@ -1111,29 +1150,88 @@ class FrontierCore:
         self.wave += 1
         if not n_launch:
             return LAUNCH_SCHEMA.empty_table()
-        ufn_cat = np.concatenate(acc["ufn"])
+        # one bulk gather for ALL fast-path spans of the wave
+        if fast_cand:
+            cf = np.concatenate(fast_cand)
+            gf = rows[cf]
+            nf_l = len(cf)
+            pos_f = np.empty(nf_l, dtype=np.int64)
+            ip_f = np.empty(nf_l, dtype=np.int64)
+            lm_f = np.empty(nf_l, dtype=np.int64)
+            o = 0
+            for pos0, nl, ip, gap in fast_meta:
+                pos_f[o : o + nl] = np.arange(pos0, pos0 + nl)
+                ip_f[o : o + nl] = ip
+                lm_f[o : o + nl] = now_ms + np.arange(nl, dtype=np.int64) * gap
+                o += nl
+            rrr = st.rep_row[gf]
+            if rp.n:
+                ec_f = np.where(
+                    rrr >= 0, rp.err_count[np.where(rrr >= 0, rrr, 0)], 0
+                ).astype(np.int64)
+            else:
+                ec_f = np.zeros(nf_l, dtype=np.int64)
+            fast_data = {
+                "url": st.url[gf],
+                "uh48": st.uh48[gf],
+                "first_ip": ip_f,
+                "host": st.host[gf],
+                "dom_hash32": st.dom_hash32[gf].astype(np.int64),
+                "hop_count": st.hop_count[gf].astype(np.int64),
+                "added_time": st.added_time[gf].astype(np.int64),
+                "priority": prio_all[cf],
+                "ufn": ufn_all[cf].astype(np.int64),
+                "err_count": ec_f,
+                "launch_ms": lm_f,
+            }
+        else:
+            pos_f = np.empty(0, dtype=np.int64)
+            fast_data = None
+        if not mat_pos and fast_data is not None:
+            # no exact-path spans: fast rows are already in final order
+            cols_out = fast_data
+        else:
+            pos_x = (
+                np.concatenate(mat_pos) if mat_pos else np.empty(0, dtype=np.int64)
+            )
+            dtypes = {
+                "url": object,
+                "uh48": np.uint64,
+                "host": object,
+            }
+            cols_out = {}
+            for k in mat:
+                out = np.empty(n_launch, dtype=dtypes.get(k, np.int64))
+                if fast_data is not None:
+                    out[pos_f] = fast_data[k]
+                if mat_pos:
+                    out[pos_x] = np.concatenate(mat[k]).astype(
+                        dtypes.get(k, np.int64), copy=False
+                    )
+                cols_out[k] = out
+        ufn_cat = cols_out["ufn"]
         seqs = np.arange(self.seq, self.seq + n_launch, dtype=np.int64)
         self.seq += n_launch
         t = pa.table(
             {
-                "url": pa.array(np.concatenate(acc["url"]).tolist(), pa.string()),
-                "uh48": pa.array(np.concatenate(acc["uh48"]), pa.uint64()),
-                "first_ip": pa.array(np.concatenate(acc["first_ip"]), pa.int64()),
-                "host": pa.array(np.concatenate(acc["host"]).tolist(), pa.string()),
-                "dom_hash32": pa.array(np.concatenate(acc["dom_hash32"]), pa.int64()),
+                "url": pa.array(cols_out["url"].tolist(), pa.string()),
+                "uh48": pa.array(cols_out["uh48"], pa.uint64()),
+                "first_ip": pa.array(cols_out["first_ip"], pa.int64()),
+                "host": pa.array(cols_out["host"].tolist(), pa.string()),
+                "dom_hash32": pa.array(cols_out["dom_hash32"], pa.int64()),
                 "hop_count": pa.array(
-                    np.concatenate(acc["hop_count"]).astype(np.int32), pa.int32()
+                    cols_out["hop_count"].astype(np.int32), pa.int32()
                 ),
-                "added_time": pa.array(np.concatenate(acc["added_time"]), pa.int64()),
+                "added_time": pa.array(cols_out["added_time"], pa.int64()),
                 "priority": pa.array(
-                    np.concatenate(acc["priority"]).astype(np.int16), pa.int16()
+                    cols_out["priority"].astype(np.int16), pa.int16()
                 ),
                 "ufn": pa.array(ufn_cat.astype(np.int32), pa.int32()),
                 "harvest_links": pa.array(self.prog.harvest_links[ufn_cat]),
                 "err_count": pa.array(
-                    np.concatenate(acc["err_count"]).astype(np.int32), pa.int32()
+                    cols_out["err_count"].astype(np.int32), pa.int32()
                 ),
-                "launch_ms": pa.array(np.concatenate(acc["launch_ms"]), pa.int64()),
+                "launch_ms": pa.array(cols_out["launch_ms"], pa.int64()),
                 "wave": pa.array(np.full(n_launch, self.wave - 1, dtype=np.int64)),
                 "part_id": pa.array(
                     np.full(n_launch, self.part_id, dtype=np.int32), pa.int32()
@@ -1186,10 +1284,10 @@ class FrontierCore:
             rqr = self.uh_rows.get(u48)
             if rqr is not None:
                 r0 = rqr if isinstance(rqr, int) else rqr[0]
-                url = st.url[r0]
+                fl0 = int(st.flags[r0])
             else:
                 r0 = None
-                url = ""
+                fl0 = 0
             # percentChangedPerDay (Spider.h:790): content-hash delta
             # between the last two spiderings / elapsed days
             pcpd = 0.0
@@ -1214,8 +1312,12 @@ class FrontierCore:
                 content_hash32=ch_new,
                 lang=langs[i],
                 is_indexed=err == 0,
-                is_rss=url_is_rssext(url) if url else False,
-                is_permalink=url_is_permalink_format(url) if url else False,
+                # URL-derived reply flags come from the request row's
+                # stored predicate flags (same url_is_rssext /
+                # url_is_permalink_format, computed once on the parse
+                # fan-out) — not recomputed per reply
+                is_rss=bool(fl0 & RQ_RSSEXT),
+                is_permalink=bool(fl0 & RQ_PERMFMT),
                 percent_changed_per_day=pcpd,
             )
             if prow is None:

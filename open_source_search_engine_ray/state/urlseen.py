@@ -147,10 +147,15 @@ class CuckooFilter:
         self.add_batch(np.array([key], dtype=np.uint64))
 
     def add_batch(self, keys: np.ndarray) -> None:
-        """Insert keys in order.  fp/i1/i2 are computed in one vectorized
-        pass (the per-key tiny-ndarray constructions dominated the scalar
-        path); the insertion loop itself is inherently sequential because
-        each placement depends on prior table state."""
+        """Insert keys.  fp/i1/i2 are computed in one vectorized pass,
+        and placement itself is vectorized: each pass scatters at most
+        one key per target bucket into its first free slot (a stable
+        bucket-sort dedup picks the winner), alternating i1/i2 passes
+        until no key can place without kicking.  Only the rare kick
+        chains fall back to the sequential path.  Bucket CHOICE can
+        differ from one-by-one insertion, but lookup/delete semantics
+        are bucket-pair symmetric, so contains()/delete() behavior is
+        unchanged."""
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return
@@ -158,9 +163,34 @@ class CuckooFilter:
         i1s = self._i1s(keys)
         i2s = self._alt(i1s, fps)
         self.n_items += len(keys)
-        for j in range(len(keys)):
-            fp, i1, i2 = int(fps[j]), int(i1s[j]), int(i2s[j])
-            if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+        idx = np.arange(len(keys))
+        for buckets in (i1s, i2s):
+            while idx.size:
+                b = buckets[idx]
+                free = self.table[b] == 0  # (m, slots)
+                has_free = free.any(axis=1)
+                # one winner per bucket this pass (first in batch order)
+                order = np.argsort(b, kind="stable")
+                bs = b[order]
+                first = np.ones(bs.size, dtype=bool)
+                first[1:] = bs[1:] != bs[:-1]
+                take = np.zeros(idx.size, dtype=bool)
+                take[order[first]] = True
+                take &= has_free
+                if not take.any():
+                    break
+                self.table[b[take], free[take].argmax(axis=1)] = fps[idx[take]]
+                keep = ~take
+                # keys whose bucket is full wait for the next buckets
+                # array (or the kick path); keys that lost the per-bucket
+                # race retry this array
+                if not (keep & has_free).any():
+                    idx = idx[keep]
+                    break
+                idx = idx[keep]
+        for j in idx.tolist():
+            fp, i1 = int(fps[j]), int(i1s[j])
+            if self._insert_at(i1, fp) or self._insert_at(int(i2s[j]), fp):
                 continue
             # deterministic cuckoo kick chain
             i, cur = i1, fp
