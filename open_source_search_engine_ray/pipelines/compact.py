@@ -378,12 +378,27 @@ def cold_start_schedule(log_ds, cfg: CrawlConfig, now_ms: int):
         # replay replies in spidered_time order so the pairwise
         # percentChangedPerDay derivation sees the same consecutive
         # observations the live complete() path saw; newest-reply-wins
-        # keeps the final state commutative under block ordering
+        # keeps the final state commutative under block ordering.
+        # Columnar (apply_replies_newest_cols); the per-row
+        # apply_reply_newest path is kept as the test oracle.
         reps = g[g["rec"] == "reply"].sort_values(
             ["uh48", "spidered_time"], kind="stable"
         )
-        for r in reps.to_dict("records"):
-            core.apply_reply_newest(_row_to_rec(r))
+        if len(reps):
+            core.apply_replies_newest_cols(
+                {
+                    c: reps[c].to_numpy()
+                    for c in (
+                        "uh48",
+                        "spidered_time",
+                        "err_code",
+                        "err_count",
+                        "http_status",
+                        "crawl_delay_ms",
+                        "content_hash32",
+                    )
+                }
+            )
         # quota pre-count pass over the applied log (the reference's
         # m_countingPagesIndexed scan before winner selection)
         core.recount_quotas()

@@ -287,11 +287,14 @@ class CrawlResult:
       only; lazy and cached, so a caller that never touches them pays
       nothing.
 
-    ``fetch_log`` is derived from the actors' hot latest-reply state
-    (bounded by what scheduling itself must hold), not from history
-    segments, so it stays an eager small list."""
+    ``fetch_log`` is derived from the actors' hot latest-reply state and
+    streams to per-partition ``fetchlog-`` segments at finalize like the
+    other histories; ``fetch_log_ds()`` is the scale consumption path,
+    the ``fetch_log`` property the driver-side sorted-tuples convenience
+    (tests / small crawls).  ``fetch_log_eager`` is only populated by
+    log_dir-less unit cores."""
 
-    fetch_log: list
+    fetch_log_eager: list | None
     metrics: dict
     docs_dir: str
     waves: int
@@ -324,6 +327,44 @@ class CrawlResult:
         if not paths:
             return rd.from_arrow(LAUNCH_SCHEMA.empty_table())
         return rd.read_parquet(paths)
+
+    def fetch_log_ds(self):
+        """Latest-reply snapshot (one row per crawled uh48) as a
+        streaming ``ray.data.Dataset``."""
+        import ray.data as rd
+
+        paths = self._segment_paths("fetchlog-")
+        if not paths:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "uh48": pa.array([], pa.uint64()),
+                        "spidered_time": pa.array([], pa.int64()),
+                        "http_status": pa.array([], pa.int64()),
+                        "err_code": pa.array([], pa.int64()),
+                        "err_count": pa.array([], pa.int64()),
+                        "crawl_delay_ms": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return rd.read_parquet(paths)
+
+    @property
+    def fetch_log(self) -> list:
+        log = self.__dict__.get("_fetch_log")
+        if log is None:
+            if self.fetch_log_eager is not None:
+                log = sorted(self.fetch_log_eager)
+            else:
+                log = []
+                for p in self._segment_paths("fetchlog-"):
+                    t = pq.read_table(p)
+                    log.extend(
+                        zip(*(t[c].to_pylist() for c in t.column_names))
+                    )
+                log = sorted(log)
+            self.__dict__["_fetch_log"] = log
+        return log
 
     def url_seen_ds(self):
         """URL-seen pairs (uh48, url) as a streaming ``ray.data.Dataset``."""
@@ -379,16 +420,17 @@ class CrawlResult:
 
 
 def _merge_results(cores_data, out_dir, waves) -> CrawlResult:
-    """Collect the crawl outputs.  Only small per-core reductions (fetch
-    log from hot reply state, metric counters) are gathered; the launch /
-    URL-seen history stays in the parquet segments and is exposed through
-    the CrawlResult handles above."""
-    fetch_log = sorted(x for d in cores_data for x in d["fetch_log"])
+    """Collect the crawl outputs.  Only the metric counters are gathered;
+    launch / URL-seen / fetch-log history stays in the parquet segments
+    and is exposed through the CrawlResult handles above."""
+    eager = None
+    if any("fetch_log" in d for d in cores_data):  # log_dir-less cores
+        eager = sorted(x for d in cores_data for x in d.get("fetch_log", []))
     metrics: dict = {}
     for d in cores_data:
         for k, v in d["metrics"].items():
             metrics[k] = metrics.get(k, 0) + v
-    return CrawlResult(fetch_log, metrics, out_dir, waves)
+    return CrawlResult(eager, metrics, out_dir, waves)
 
 
 def seed_columns(web: SynthWeb, host_ip: dict):
@@ -859,10 +901,16 @@ def _checkpoint_all(ray_mod, actors, out_dir, wave, now=0):
 # FrontierCore needs result-collection methods; attach here to keep the
 # state module Ray-agnostic.
 def _finalize(self) -> dict:
-    """Flush durable log segments; return only the small in-RAM outputs
-    (launch log + URL-seen are then read from disk by the driver)."""
+    """Flush durable log segments (launch log, URL-seen, fetch-log
+    snapshot); return only the metric counters.  The fetch log streams
+    to a per-partition parquet segment like the other histories — the
+    driver never gathers per-URL rows; the eager-list fallback exists
+    only for log_dir-less unit cores."""
     self.flush_logs()
-    return {"fetch_log": self.fetch_log(), "metrics": self.get_metrics()}
+    out = {"metrics": self.get_metrics()}
+    if not self.flush_fetch_log():
+        out["fetch_log"] = self.fetch_log()
+    return out
 
 
 def _schedule_ipc(

@@ -552,7 +552,153 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------------
 
 
-def dedup_groups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+CC_DRIVER_EDGE_MAX = 1 << 20  # union-find on the driver below this
+
+
+def _cc_route(vals: np.ndarray, payloads: tuple, P: int) -> list:
+    """Split parallel arrays into P per-bucket tuples by vals % P."""
+    tb = vals % P
+    order = np.argsort(tb, kind="stable")
+    cuts = np.searchsorted(tb[order], np.arange(P + 1))
+    sorted_payloads = tuple(p[order] for p in payloads)
+    return [
+        tuple(p[cuts[t] : cuts[t + 1]] for p in sorted_payloads)
+        for t in range(P)
+    ]
+
+
+def _cc_edge_task(P: int, edges: dict, labels: dict, *jump_blobs):
+    """Bucket-q propose task: join this bucket's label table against the
+    static edges keyed here (key = neighbor id in bucket q) plus the
+    round's pointer-jump requests (key = some node's current label, also
+    owned by q); emit (dst, label[key]) proposals routed by dst bucket.
+    Proposals with label >= dst are pruned: label[dst] <= dst always
+    (labels start at own id, only decrease), so they cannot win."""
+    node, lab = labels["node"], labels["label"]
+    key, dst = edges["nbr"], edges["dst"]
+    live = [j for j in jump_blobs if j is not None and len(j[0])]
+    if live:
+        key = np.concatenate([key] + [j[0] for j in live])
+        dst = np.concatenate([dst] + [j[1] for j in live])
+    idx = np.searchsorted(node, key)
+    plab = lab[idx]
+    m = plab < dst
+    dst, plab = dst[m], plab[m]
+    return tuple(_cc_route(dst, (dst, plab), P))
+
+
+def _cc_owner_task(P: int, labels: dict, *prop_blobs):
+    """Bucket-p combine task: min-merge the round's proposals into this
+    bucket's labels, then emit next-round pointer-jump requests
+    (label[x], x) for every non-root node — the receiving bucket owns
+    label[x] and will propose label[label[x]] back, halving chain depth
+    per round (pointer jumping / path doubling).  Returns the new label
+    table, P jump blobs, and the changed count (the driver's scalar
+    convergence test)."""
+    node, lab = labels["node"], labels["label"].copy()
+    changed = 0
+    live = [p for p in prop_blobs if p is not None and len(p[0])]
+    if live:
+        dst = np.concatenate([p[0] for p in live])
+        plab = np.concatenate([p[1] for p in live])
+        idx = np.searchsorted(node, dst)
+        o = np.lexsort((plab, idx))
+        idx_s, plab_s = idx[o], plab[o]
+        first = np.ones(len(idx_s), dtype=bool)
+        first[1:] = idx_s[1:] != idx_s[:-1]
+        tgt = idx_s[first]
+        lab[tgt] = np.minimum(lab[tgt], plab_s[first])
+        changed = int((lab != labels["label"]).sum())
+    m = lab != node
+    jumps = _cc_route(lab[m], (lab[m], node[m]), P)
+    return tuple(
+        [{"node": node, "label": lab}] + jumps + [changed]
+    )
+
+
+def cc_min_label_rounds(
+    pairs: pd.DataFrame, n_buckets: int = 64, max_rounds: int = 64
+) -> pd.DataFrame:
+    """Distributed connected components over a near-dup edge list:
+    iterated min-label rounds over hash buckets (the map-reduce CC
+    standard) with pointer jumping, so rounds are O(log max-cluster-
+    diameter).  Each round is two waves of P raw Ray tasks — propose
+    (static edges + jump requests joined against the owning bucket's
+    labels) and combine (vectorized min per node) — exchanging only
+    per-bucket numpy blobs; nothing but a changed-count scalar lands on
+    the driver per round.  Raw tasks rather than Ray Data because an
+    iterative fixpoint pays the per-pipeline fixed cost every round
+    (CLAUDE.md invariant 7: Dataset groupby's sort shuffle costs seconds
+    per round regardless of row count); static edge partitions are
+    ``ray.put`` once and shared across all rounds.
+
+    Returns (doc_id, group_id) sorted by doc_id, identical to the
+    driver-side union-find (pinned in tests/test_training.py)."""
+    import ray
+
+    P = n_buckets
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    node = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    nodes = np.unique(node)
+    # static edge partitions keyed by NEIGHBOR bucket; label partitions
+    # by node bucket, node-sorted so the join is a searchsorted
+    eb = nbr % P
+    edge_refs = []
+    for q in range(P):
+        m = eb == q
+        o = np.argsort(nbr[m], kind="stable")
+        edge_refs.append(
+            ray.put({"nbr": nbr[m][o], "dst": node[m][o]})
+        )
+    lb = nodes % P
+    label_refs = [
+        ray.put({"node": nodes[lb == p], "label": nodes[lb == p].copy()})
+        for p in range(P)
+    ]
+
+    edge_task = ray.remote(_cc_edge_task).options(num_returns=P)
+    owner_task = ray.remote(_cc_owner_task).options(num_returns=P + 2)
+    # round 0 has no jump requests (labels are self)
+    jump_refs = [[None] * P for _ in range(P)]  # [src_bucket][target]
+    for _ in range(max_rounds):
+        props = [
+            edge_task.remote(
+                P,
+                edge_refs[q],
+                label_refs[q],
+                *[jump_refs[p][q] for p in range(P)],
+            )
+            for q in range(P)
+        ]
+        if P == 1:
+            props = [[r] for r in props]
+        owners = [
+            owner_task.remote(
+                P, label_refs[p], *[props[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        label_refs = [o[0] for o in owners]
+        jump_refs = [list(o[1 : P + 1]) for o in owners]
+        if sum(ray.get([o[P + 1] for o in owners])) == 0:
+            break
+    parts = ray.get(label_refs)
+    out = pd.DataFrame(
+        {
+            "doc_id": np.concatenate([p["node"] for p in parts]),
+            "group_id": np.concatenate([p["label"] for p in parts]),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_groups(
+    sf_dir: str,
+    threshold: float = 0.4,
+    driver_edge_max: int = CC_DRIVER_EDGE_MAX,
+) -> pd.DataFrame:
     """Near-dup clustering: connected components over the exact-Jaccard
     pair graph, labeling every document in a dup cluster with the
     cluster's minimum doc_id (the canonical representative a training
@@ -560,18 +706,19 @@ def dedup_groups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     docs only — singletons are implicit.
 
     Scale shape: the pair edges come from the bounded LSH-bucket
-    pipeline (only candidate signatures shuffle); components form via
-    union-find over the edge list.  At 10^10 docs the edge list is
-    still tiny relative to the corpus (dup pairs, not all pairs), and
-    the same label-propagation runs as iterated hash-join min rounds —
-    the map-reduce connected-components standard; the union-find here
-    is the per-partition base case of that loop.
+    pipeline (only candidate signatures shuffle).  Components form via
+    union-find on the driver while the edge list is small
+    (≤ ``driver_edge_max``); above that, :func:`cc_min_label_rounds`
+    runs the iterated min-label hash-join rounds distributed — same
+    result, pinned equal in tests.
     """
     pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
     if pairs.empty:
         return pd.DataFrame({"doc_id": [], "group_id": []}).astype(
             {"doc_id": "int64", "group_id": "int64"}
         )
+    if len(pairs) > driver_edge_max:
+        return cc_min_label_rounds(pairs)
     a = pairs["doc_a"].to_numpy(dtype=np.int64)
     b = pairs["doc_b"].to_numpy(dtype=np.int64)
     parent: dict[int, int] = {}

@@ -1393,6 +1393,97 @@ class FrontierCore:
         elif rep.spidered_time >= int(rp.spidered_time[prow]):
             rp.set_row(prow, rep)
 
+    def apply_replies_newest_cols(self, cols: dict) -> None:
+        """Columnar form of :meth:`apply_reply_newest` for cold-start log
+        replays: input arrays MUST be sorted by (uh48, spidered_time),
+        stable.  Only the LAST reply per uh48 survives (newest wins), and
+        its percentChangedPerDay is derived from the immediately
+        preceding sorted row — exactly the pair the sequential replay
+        would have stored just before it.  is_rss/is_permalink come from
+        the request row's stored URL-predicate flags (same derivation as
+        ``complete()``); equality with the per-row path is pinned in
+        tests/test_compact.py.
+
+        Replaces the per-row ``to_dict("records")`` loop in
+        cold_start_schedule (reference scale: the ~10.8 GB spiderdb
+        rescan, Spider.h:308-311)."""
+        uh = np.asarray(cols["uh48"]).astype(np.uint64)
+        n = len(uh)
+        if not n:
+            return
+        st_t = np.asarray(cols["spidered_time"]).astype(np.int64)
+        err = np.asarray(cols["err_code"]).astype(np.int64)
+        ecnt = np.asarray(cols["err_count"]).astype(np.int64)
+        hst = np.asarray(cols["http_status"]).astype(np.int64)
+        cdm = np.asarray(cols["crawl_delay_ms"]).astype(np.int64)
+        ch = np.asarray(cols["content_hash32"]).astype(np.int64)
+        last = np.ones(n, dtype=bool)
+        last[:-1] = uh[1:] != uh[:-1]
+        first = np.ones(n, dtype=bool)
+        first[1:] = uh[1:] != uh[:-1]
+        w = np.nonzero(last)[0]  # winning (final) row per distinct uh48
+        m = len(w)
+        # pcpd of the winning application: prev stored == previous sorted
+        # row of the same group (Spider.h:790 pairwise derivation)
+        pcpd = np.zeros(m, dtype=np.float64)
+        hp = np.nonzero(~first[w])[0]  # winners with a predecessor
+        if len(hp):
+            pw = w[hp]
+            pp = pw - 1
+            ok = (err[pp] == 0) & (err[pw] == 0) & (st_t[pw] > st_t[pp])
+            days = (st_t[pw] - st_t[pp]).astype(np.float64) / 86400.0
+            changed = np.where(ch[pw] != ch[pp], 100.0, 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(days > 0, changed / days, 0.0)
+            pcpd[hp] = np.where(ok, v, 0.0)
+        rp = self.reps
+        st = self.store
+        # allocate/locate target rows (per-DISTINCT dict work only)
+        rows = np.empty(m, dtype=np.int64)
+        stale = []  # j where an existing newer reply must be kept
+        row_of = rp.row_of
+        nxt = rp.n
+        fl0 = np.zeros(m, dtype=np.int64)
+        uhw = uh[w].tolist()
+        stw = st_t[w]
+        for j, u in enumerate(uhw):
+            r = row_of.get(u)
+            if r is None:
+                r = nxt
+                nxt += 1
+                row_of[u] = r
+                rqr = self.uh_rows.get(u)
+                if rqr is not None:
+                    for rr in self._rows_list(rqr):
+                        st.rep_row[rr] = r
+            elif int(stw[j]) < int(rp.spidered_time[r]):
+                stale.append(j)
+            rqr = self.uh_rows.get(u)
+            if rqr is not None:
+                r0 = rqr if isinstance(rqr, int) else rqr[0]
+                fl0[j] = int(st.flags[r0])
+            rows[j] = r
+        rp.reserve(nxt - rp.n)
+        rp.n = nxt
+        if stale:
+            keep = np.ones(m, dtype=bool)
+            keep[stale] = False
+            w, rows, pcpd, fl0 = w[keep], rows[keep], pcpd[keep], fl0[keep]
+        rp.spidered_time[rows] = st_t[w]
+        rp.err_code[rows] = err[w]
+        rp.err_count[rows] = ecnt[w]
+        rp.http_status[rows] = hst[w]
+        rp.crawl_delay_ms[rows] = cdm[w]
+        rp.content_hash32[rows] = ch[w]
+        rp.pub_date[rows] = 0
+        rp.pcpd[rows] = pcpd
+        rp.lang[rows] = "en"  # log replies carry no lang (Rep default)
+        rp.flags[rows] = (
+            np.where(err[w] == 0, RP_INDEXED, 0)
+            | np.where(fl0 & RQ_RSSEXT, RP_RSS, 0)
+            | np.where(fl0 & RQ_PERMFMT, RP_PERMALINK, 0)
+        ).astype(np.uint8)
+
     # -- durable log segments ---------------------------------------------
 
     def _part_dir(self) -> str:
@@ -1475,6 +1566,36 @@ class FrontierCore:
             )
             for u, r in rp.row_of.items()
         )
+
+    def fetch_log_table(self) -> pa.Table:
+        """Hot latest-reply state as a columnar table (one row per
+        crawled uh48) — the streamed form of :meth:`fetch_log`."""
+        rp = self.reps
+        m = len(rp.row_of)
+        uh = np.fromiter(rp.row_of.keys(), np.uint64, m)
+        rows = np.fromiter(rp.row_of.values(), np.int64, m)
+        return pa.table(
+            {
+                "uh48": pa.array(uh, pa.uint64()),
+                "spidered_time": pa.array(rp.spidered_time[rows]),
+                "http_status": pa.array(rp.http_status[rows]),
+                "err_code": pa.array(rp.err_code[rows]),
+                "err_count": pa.array(rp.err_count[rows]),
+                "crawl_delay_ms": pa.array(rp.crawl_delay_ms[rows]),
+            }
+        )
+
+    def flush_fetch_log(self) -> bool:
+        """Snapshot the latest-reply state to a parquet segment in the
+        part dir (finalize-time; overwrites — it is derived state, not an
+        append log).  Keeps the per-URL fetch log off the driver: at
+        10^10 crawled URLs the old gather-to-a-python-list form OOMs at
+        finalize.  Returns False when no log_dir is configured (unit
+        tests) so the caller falls back to the eager list."""
+        if self.log_dir is None:
+            return False
+        self._write_seg(self.fetch_log_table(), "fetchlog-000000.parquet")
+        return True
 
     def recount_quotas(self) -> None:
         """Rebuild the quota tables from the reply log — the cold-start

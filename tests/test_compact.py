@@ -226,3 +226,64 @@ def test_export_log_skips_force_deleted():
     assert set(t[t["rec"] == "reply"]["uh48"].astype("uint64")) == {
         int(cols["uh48"][2])
     }
+
+
+def test_apply_replies_newest_cols_vs_sequential():
+    """Columnar cold-start reply replay == per-row apply_reply_newest
+    (the semantic oracle): full reply-store state equality across
+    adversarial fixtures — multi-reply groups, spidered_time ties,
+    err/content-hash mixes, reply-only uh48s, rss/permalink URLs."""
+    from open_source_search_engine_ray.pipelines.compact import _row_to_rec
+    from open_source_search_engine_ray.stages.canonicalize import (
+        make_request_columns,
+    )
+    from open_source_search_engine_ray.state.frontier import FrontierCore
+
+    for seed in range(4):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        paths = ["p{}.html", "feed{}.rss", "20{:02d}/01/02/x.html", "p{}.xml"]
+        urls = [
+            f"http://h{i % 9}.test/" + paths[i % 4].format(i) for i in range(40)
+        ]
+        ips = {f"h{i}.test": 100 + i for i in range(9)}
+
+        def build_core():
+            c = FrontierCore(0, CrawlConfig(num_partitions=1))
+            c.add_requests(make_request_columns(urls, ips, added_time=10))
+            return c
+
+        ref = build_core()
+        uh_pool = np.concatenate(
+            [np.asarray(make_request_columns(urls, ips)["uh48"]),
+             rng.integers(1, 1 << 30, 10).astype(np.uint64)]  # reply-only
+        )
+        rows = []
+        for _ in range(600):
+            rows.append(
+                dict(
+                    rec="reply",
+                    uh48=int(uh_pool[rng.integers(0, len(uh_pool))]),
+                    spidered_time=int(rng.integers(1, 40)) * 86400,
+                    err_code=int(rng.integers(0, 2)),
+                    err_count=int(rng.integers(0, 3)),
+                    http_status=200,
+                    crawl_delay_ms=int(rng.integers(-1, 100)),
+                    content_hash32=int(rng.integers(0, 4)),
+                )
+            )
+        df = pd.DataFrame(rows).sort_values(
+            ["uh48", "spidered_time"], kind="stable"
+        )
+        for r in df.to_dict("records"):
+            ref.apply_reply_newest(_row_to_rec(r))
+        got = build_core()
+        got.apply_replies_newest_cols(
+            {c: df[c].to_numpy() for c in (
+                "uh48", "spidered_time", "err_code", "err_count",
+                "http_status", "crawl_delay_ms", "content_hash32")}
+        )
+        want, have = ref.reps, got.reps
+        assert set(want.row_of) == set(have.row_of)
+        for u in want.row_of:
+            a, b = want.get_rep(u), have.get_rep(u)
+            assert a == b, (u, a, b)

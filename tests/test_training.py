@@ -208,3 +208,60 @@ def test_dedup_groups_transitive(_ray):
         assert gid == grp["doc_id"].min()
     # the corpus has organic chains, so some cluster exceeds a pair
     assert (g.groupby("group_id").size() > 2).any()
+
+
+def test_cc_min_label_rounds_matches_union_find(_ray):
+    """The distributed min-label hash-join CC (the >driver_edge_max
+    path) must produce the exact union-find labeling: long chains force
+    multiple propagation rounds; star + chain + pair topologies and
+    non-contiguous ids exercise the bucket co-group."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    edges = []
+    nid = 10_000
+    for _ in range(8):  # chains of length 20 (diameter forces rounds)
+        ids = nid + np.arange(20) * 17
+        nid += 1000
+        edges += [(int(x), int(y)) for x, y in zip(ids[:-1], ids[1:])]
+    for _ in range(5):  # stars
+        c = nid
+        nid += 1000
+        edges += [(c, c + int(k)) for k in rng.integers(1, 900, 12)]
+    edges += [(5, 7), (900_000_001, 900_000_002)]  # isolated pairs
+    pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"]).drop_duplicates()
+    got = T.cc_min_label_rounds(pairs, n_buckets=8)
+
+    # driver union-find oracle (same as dedup_groups' small path)
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in pairs.itertuples(index=False):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    want = pd.DataFrame(
+        {"doc_id": nodes, "group_id": [find(n) for n in nodes]}
+    ).astype({"doc_id": "int64", "group_id": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_dedup_groups_distributed_path_matches(_ray):
+    """dedup_groups with driver_edge_max=0 (forcing the distributed CC)
+    equals the default union-find result on the real corpus."""
+    import pandas as pd
+
+    small = T.dedup_groups(SF_DIR)
+    dist = T.dedup_groups(SF_DIR, driver_edge_max=0)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), small.reset_index(drop=True)
+    )
