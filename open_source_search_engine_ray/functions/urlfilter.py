@@ -61,6 +61,9 @@ ERR_SIMPLIFIED_REDIR = 6  # reference EDOCSIMPLIFIEDREDIR (permanent)
 # real-socket fetch tier (stages/httpfetch.py) additions:
 ERR_NET_UNREACH = 7  # ENETUNREACH / EHOSTUNREACH / conn refused — tmp
 ERR_CONN_RESET = 8  # ECONNRESET — ban signal, NOT in the tmp set
+ERR_TLS = 9  # TLS handshake / cert failure — permanent (ESSLERROR is
+# not in the reference tmp set; the https error path Msg13.cpp:1621-1623
+# reports it as a hard error)
 # (reference tmp set Spider.cpp:2333-2344: EDNSTIMEDOUT, ETCPTIMEDOUT,
 # EDNSDEAD, EBADIP, ENOMEM, ENETUNREACH, EHOSTUNREACH — ECONNRESET is
 # deliberately absent there; it feeds ipWasBanned instead)

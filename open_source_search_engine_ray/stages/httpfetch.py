@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import asyncio
 import gzip
+import ssl as _ssl_module
 import time
 import zlib
 
@@ -90,15 +91,18 @@ class _FetchResult:
 
 
 def _split_host(url: str) -> tuple:
-    """(host, port, path_with_query) from an http URL."""
-    rest = url.split("://", 1)[-1]
+    """(host, port, path_with_query, is_https) from an http(s) URL.
+    Default port 443 for https (reference HttpServer.h:138-143 m_ssltcp
+    listens on the ssl port; Msg13.cpp:2376-2380 routes https URLs)."""
+    scheme, _, rest = url.partition("://")
+    https = scheme == "https"
     slash = rest.find("/")
     hostport = rest if slash < 0 else rest[:slash]
     path = "/" if slash < 0 else rest[slash:]
     if ":" in hostport and not hostport.startswith("["):
         host, _, port = hostport.rpartition(":")
-        return host, int(port), path
-    return hostport, 80, path
+        return host, int(port), path, https
+    return hostport, 443 if https else 80, path, https
 
 
 def _parse_response(raw: bytes) -> _FetchResult:
@@ -166,16 +170,27 @@ def _dechunk(body: bytes) -> bytes:
 class HttpFetchStage:
     """Async real-socket fetch over a batch of launch rows.
 
-    ``resolve`` maps host -> (address, port) — the DNS seam.  In tests it
-    points every synthetic host at the localhost fixture server (the
-    reference's test/system httpserver pattern); in production it is a
-    real resolver (None = stdlib getaddrinfo on the URL's own host).
+    ``resolve`` maps host -> (address, port) — the static DNS seam for
+    tests: it points every synthetic host at the localhost fixture
+    server (the reference's test/system httpserver pattern).  In
+    production ``resolve`` is None and lookups go through ``dns``, an
+    async caching :class:`~..stages.dnscache.DnsCache` (LRU + negative +
+    timed-out caching per Dns.cpp; default-constructed when not given),
+    whose failures surface as ``ERR_DNS`` — a tmp error, so the
+    ``errorcount>=1 && hastmperror`` reschedule rule fires.
+
+    ``ssl_context`` drives https fetches (SNI = the URL host even when
+    connecting to a resolved address); None lazily becomes
+    ``ssl.create_default_context()``.  TLS handshake/cert failures map
+    to ``ERR_TLS`` (permanent — reference ESSLERROR, Errno.h:152).
     """
 
     def __init__(
         self,
         user_agent: str = "gigablastbot",
         resolve: dict | None = None,
+        dns=None,
+        ssl_context=None,
         connect_timeout_s: float = 5.0,
         read_timeout_s: float = 10.0,
         max_connections: int = 32,
@@ -185,6 +200,8 @@ class HttpFetchStage:
     ):
         self.ua = user_agent
         self.resolve = resolve
+        self.dns = dns
+        self.ssl_context = ssl_context
         self.connect_timeout_s = connect_timeout_s
         self.read_timeout_s = read_timeout_s
         self.auto_backoff = auto_backoff
@@ -209,7 +226,7 @@ class HttpFetchStage:
 
     async def _download(self, url: str) -> _FetchResult:
         fr = _FetchResult()
-        host, port, path = _split_host(url)
+        host, port, path, https = _split_host(url)
         if self.resolve is not None:
             target = self.resolve.get(host)
             if target is None:
@@ -217,17 +234,29 @@ class HttpFetchStage:
                 return fr
             addr, aport = target
         else:
-            try:
-                infos = await self._loop.getaddrinfo(host, port)
-                addr, aport = infos[0][4][0], port
-            except OSError:
-                fr.err_code = urlfilter.ERR_DNS
+            if self.dns is None:
+                from .dnscache import DnsCache
+
+                self.dns = DnsCache()
+            addr, errc = await self.dns.resolve(host)
+            if addr is None:
+                fr.err_code = errc
                 return fr
+            aport = port
         self.fetch_count += 1
+        ssl_kw = {}
+        if https:
+            if self.ssl_context is None:
+                import ssl as _ssl
+
+                self.ssl_context = _ssl.create_default_context()
+            # SNI/verify against the URL host, not the resolved address
+            ssl_kw = {"ssl": self.ssl_context, "server_hostname": host}
         reader = writer = None
         try:
             reader, writer = await asyncio.wait_for(
-                asyncio.open_connection(addr, aport), self.connect_timeout_s
+                asyncio.open_connection(addr, aport, **ssl_kw),
+                self.connect_timeout_s,
             )
             req = (
                 f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
@@ -239,6 +268,11 @@ class HttpFetchStage:
             raw = await asyncio.wait_for(reader.read(-1), self.read_timeout_s)
         except asyncio.TimeoutError:
             fr.err_code = urlfilter.ERR_TCP_TIMEOUT
+            return fr
+        except _ssl_module.SSLError:
+            # handshake / cert failure — permanent (ESSLERROR); before
+            # ConnectionResetError/OSError since SSLError is an OSError
+            fr.err_code = urlfilter.ERR_TLS
             return fr
         except ConnectionResetError:
             # ban signal, not a tmp error (ipWasBanned, Msg13.cpp:966)
@@ -269,8 +303,12 @@ class HttpFetchStage:
         hit = self._robots_cache.get(host)
         if hit is not None and hit[0] > now:
             return hit[1]
-        h, port, _ = _split_host(any_url)
-        scheme_host = f"http://{h}:{port}" if port != 80 else f"http://{h}"
+        h, port, _, https = _split_host(any_url)
+        scheme = "https" if https else "http"
+        default = 443 if https else 80
+        scheme_host = (
+            f"{scheme}://{h}:{port}" if port != default else f"{scheme}://{h}"
+        )
         fr = await self._download(f"{scheme_host}/robots.txt")
         # non-200 (or error) robots = allow-all with no crawl-delay; the
         # reply is cached either way (Msg13.cpp:477-494 cache semantics)
