@@ -493,7 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": T.minhash_planted_verify,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dedup_groups": T.dedup_groups,
-        "simhash_dedup": T.simhash_dedup,
+        "simhash_dedup": T.simhash_planted_verify,
         "embedding_near_dup": T.embedding_planted_verify,
         "lang_id": T.lang_id_pred,
         "doc_fingerprints": T.doc_fingerprints,
@@ -654,6 +654,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
                    ROUND(list_cosine_similarity(v, v2), 6) AS cosine
             FROM p ORDER BY vec_a
+        """,
+        # 64-bit polynomial rolling-hash fingerprint recomputed from
+        # bytes in SQL: Σ byte·B^(n−1−i) mod 2^64, B = 1099511628211
+        # (textstats.fingerprint); HUGEINT carries the 128-bit products,
+        # the recursive CTE builds the power table.  The corpus is pure
+        # ASCII (unicode(char) == byte), asserted by the charset query.
+        "doc_fingerprints": """
+            WITH RECURSIVE pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT MAX(length(text)) FROM documents)
+            ), chars AS (
+                SELECT doc_id, unicode(text[i]) AS byte, length(text) - i AS exp
+                FROM documents,
+                     LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(SUM((byte * pw.v) % 18446744073709551616)
+                            % 18446744073709551616 AS UBIGINT) AS fingerprint
+                FROM chars JOIN pw ON pw.k = chars.exp
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(a.fingerprint, 0) AS UBIGINT) AS fingerprint
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # simhash kernel recomputed end-to-end in SQL: token rolling
+        # hashes (distinct-token table), per-bit majority vote over the
+        # 64 bits, packed signature, popcount of original-vs-perturbed
+        # xor (functions/dedup.py simhash + hamming64)
+        "simhash_dedup": """
+            WITH RECURSIVE pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT MAX(length(text)) FROM documents)
+            ), pert AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '), (x, i) ->
+                          CASE WHEN (i-1) % 11 = doc_id % 11
+                          THEN 'tok' || CAST((doc_id + i - 1) % 97 AS VARCHAR)
+                          ELSE x END) AS toks
+                FROM documents WHERE doc_id % 4 = 0
+            ), sides AS (
+                SELECT doc_id, 0 AS side, string_split(lower(text), ' ') AS toks
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 1, list_transform(toks, x -> lower(x)) FROM pert
+            ), tok AS (
+                SELECT doc_id, side, unnest(toks) AS w FROM sides
+            ), toku AS (SELECT DISTINCT w FROM tok),
+            chars AS (
+                SELECT w, unicode(w[i]) AS byte, length(w) - i AS exp
+                FROM toku, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i)
+            ), th AS (
+                SELECT w, CAST(SUM((byte * pw.v) % 18446744073709551616)
+                               % 18446744073709551616 AS UBIGINT) AS h
+                FROM chars JOIN pw ON pw.k = chars.exp
+                GROUP BY w
+            ), bitsum AS (
+                SELECT doc_id, side, k,
+                       SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM tok JOIN th USING (w), (SELECT unnest(range(0, 64)) AS k)
+                GROUP BY 1, 2, 3
+            ), sh AS (
+                SELECT doc_id, side,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN (CAST(1 AS HUGEINT) << k) ELSE 0 END)
+                            AS UBIGINT) AS sig
+                FROM bitsum GROUP BY 1, 2
+            )
+            SELECT a.doc_id AS doc_a, a.doc_id + 1000000 AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.side = 0 AND b.side = 1
+            ORDER BY doc_a
+        """,
+        # Msg22 collision probe (Titledb.h:41-87) over fingerprint-folded
+        # probable docids: the recursive CTE replays the first-come-by-url
+        # sequential probe within each 64-slot bucket
+        "assign_docids": """
+            WITH RECURSIVE pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT MAX(length('http://h'
+                    || CAST(doc_id % 50 AS VARCHAR) || '.test/d'
+                    || CAST(doc_id AS VARCHAR))) FROM documents)
+            ), urls AS (
+                SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/d'
+                       || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), chars AS (
+                SELECT url, unicode(url[i]) AS byte, length(url) - i AS exp
+                FROM urls, LATERAL (SELECT unnest(range(1, length(url) + 1)) AS i)
+            ), fp AS (
+                SELECT url, CAST(SUM((byte * pw.v) % 18446744073709551616)
+                                 % 18446744073709551616 AS UBIGINT) AS h
+                FROM chars JOIN pw ON pw.k = chars.exp
+                GROUP BY url
+            ), inp AS (
+                SELECT url,
+                       CAST((h % 61) * 64 + (h % 64) AS BIGINT) AS probable_docid,
+                       CAST(h % 61 AS BIGINT) AS bucket,
+                       row_number() OVER (PARTITION BY (h % 61) ORDER BY url) AS rn
+                FROM fp
+            ), probe(bucket, rn, used, url, probable_docid, docid) AS (
+                SELECT bucket, rn, [probable_docid], url, probable_docid,
+                       probable_docid
+                FROM inp WHERE rn = 1
+                UNION ALL
+                SELECT i.bucket, i.rn, list_append(p.used, d.docid), i.url,
+                       i.probable_docid, d.docid
+                FROM probe p
+                JOIN inp i ON i.bucket = p.bucket AND i.rn = p.rn + 1,
+                LATERAL (
+                    SELECT COALESCE(
+                        list_filter(range(i.probable_docid, i.bucket * 64 + 64),
+                                    g -> NOT list_contains(p.used, g))[1],
+                        list_filter(range(i.bucket * 64, i.bucket * 64 + 64),
+                                    g -> NOT list_contains(p.used, g))[1]
+                    ) AS docid
+                ) d
+            )
+            SELECT url, probable_docid, docid FROM probe ORDER BY url
+        """,
+        # expectation oracle: decode+detect must return exactly the
+        # declared charset and a byte-identical round trip for EVERY row
+        # (the Ray side does the real encode→sniff→decode work)
+        "charset_roundtrip": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'shift_jis' ELSE 'utf-16-le' END AS charset_true,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'shift_jis' ELSE 'utf-16-le' END AS charset_detected,
+                   TRUE AS roundtrip_ok
+            FROM documents ORDER BY doc_id
         """,
         # stopword-vote language ID (first-match-on-tie mirrors the
         # Python dict iteration order via the ord column); the Unicode

@@ -779,6 +779,42 @@ def minhash_planted_verify(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def simhash_planted_verify(sf_dir: str) -> pd.DataFrame:
+    """SimHash kernel pinned bit-exact: the registered face is the
+    hamming distance between every planted doc (doc_id % 4 == 0) and its
+    deterministic perturbation, computed with the production kernels
+    (token rolling-hash → per-bit majority vote → popcount,
+    functions/dedup.py) inside map_batches.  The DuckDB oracle
+    recomputes the token hashes, the 64 majority votes, the packed
+    signature and the popcount independently in SQL — one flipped bit
+    anywhere hash-fails.  The pigeonhole-banded pair mining stays
+    covered by :func:`simhash_dedup` (rows-only) and the planted-recall
+    pytest; banding recall at hamming ≤ 8 with 4×16-bit bands is
+    intentionally partial (pigeonhole only guarantees hd < bands), so a
+    found-pair face would not be oracle-stable."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 4 == 0]
+        texts = df["text"].tolist()
+        pert = [_perturb(t, int(d)) for t, d in zip(texts, df["doc_id"])]
+        fa, la = dd.token_hashes(texts)
+        sa = dd.simhash(fa, la)
+        fb, lb = dd.token_hashes(pert)
+        sb = dd.simhash(fb, lb)
+        hd = dd.hamming64(sa.astype(np.uint64), sb.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_id"].astype("int64"),
+                "doc_b": df["doc_id"].astype("int64") + AUG_OFFSET,
+                "hamming": hd.astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_a").reset_index(drop=True)
+
+
 def embedding_planted_verify(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup via hyperplane LSH, verified on the
     planted dups: the registered result is the planted pairs the LSH
@@ -874,12 +910,71 @@ def lang_id_pred(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _probe_resolve(g: pd.DataFrame, out_dtype: str = "uint64") -> pd.DataFrame:
+    """Msg22 availability probe within one docid bucket (docid >> 6):
+    first-come by url order, next free low-6-bit slot upward, wrapping
+    to the bucket floor (Titledb.h:41-87)."""
+    g = g.sort_values("url")
+    used: set = set()
+    final = []
+    for d in g["probable_docid"]:
+        d = int(d)
+        lo, hi = d & ~0x3F, d | 0x3F
+        x = d
+        while x in used and x < hi:
+            x += 1
+        if x in used:
+            x = lo
+            while x in used:
+                x += 1
+        used.add(x)
+        final.append(x)
+    g["docid"] = pd.Series(final, index=g.index, dtype=out_dtype)
+    return g[["url", "probable_docid", "docid"]]
+
+
 def assign_docids(sf_dir: str) -> pd.DataFrame:
     """Probable-docid assignment with collision resolution (reference
-    Titledb.h:41-87, Msg22's availability probe): docid =
-    hash64b(url) & 38 bits; colliding urls within a probe bucket
-    (docid >> 6) get the next free low-6-bit slot, first-come by url
-    order — expressed as groupby(bucket).map_groups."""
+    Titledb.h:41-87, Msg22's availability probe) — the oracle-checked
+    face: urls derive deterministically from the documents table and the
+    probable docid is the rolling-hash fingerprint folded into a 61-
+    bucket space (forcing real collisions at test scale), so DuckDB can
+    recompute hash, bucket AND the sequential probe (recursive CTE)
+    independently.  The probe kernel is shared with
+    :func:`assign_docids_gb`, the production hash64b & 38-bit variant
+    (pinned in tests/test_training.py — hash64b itself is not
+    SQL-expressible)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        urls = [f"http://h{int(d) % 50}.test/d{int(d)}" for d in df["doc_id"]]
+        h = ts.fingerprint_batch(urls)
+        probable = (
+            (h % np.uint64(61)) * np.uint64(64) + (h % np.uint64(64))
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"url": urls, "probable_docid": probable, "bucket": probable >> 6}
+        )
+
+    out = (
+        ds.map_batches(mk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _probe_resolve(g, out_dtype="int64"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["probable_docid"] = out["probable_docid"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def assign_docids_gb(sf_dir: str) -> pd.DataFrame:
+    """Production probable-docid assignment: docid = hash64b(url) & 38
+    bits (Titledb.h:41-87); collision probe as in :func:`assign_docids`,
+    expressed as groupby(bucket).map_groups."""
     import ray.data as rd
 
     from ..functions.gbhash import probable_docid_batch
@@ -896,29 +991,10 @@ def assign_docids(sf_dir: str) -> pd.DataFrame:
         df["bucket"] = (df["probable_docid"].to_numpy().astype(np.uint64) >> np.uint64(6)).astype("uint64")
         return df
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("url")
-        used: set = set()
-        final = []
-        for d in g["probable_docid"]:
-            d = int(d)
-            lo, hi = d & ~0x3F, d | 0x3F
-            x = d
-            while x in used and x < hi:
-                x += 1
-            if x in used:
-                x = lo
-                while x in used:
-                    x += 1
-            used.add(x)
-            final.append(x)
-        g["docid"] = pd.Series(final, index=g.index, dtype="uint64")
-        return g[["url", "probable_docid", "docid"]]
-
     out = (
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(_probe_resolve, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("url").reset_index(drop=True)

@@ -210,6 +210,23 @@ def test_dedup_groups_transitive(_ray):
     assert (g.groupby("group_id").size() > 2).any()
 
 
+def test_assign_docids_gb_probe_invariants(_ray):
+    """Production hash64b docid assignment (the non-SQL-expressible
+    variant): probe stays inside the 64-slot bucket, docids are unique,
+    and non-colliding urls keep their probable docid (Titledb.h:41-87)."""
+    import numpy as np
+
+    out = T.assign_docids_gb(SF_DIR)
+    d = out["docid"].to_numpy().astype(np.uint64)
+    p = out["probable_docid"].to_numpy().astype(np.uint64)
+    assert len(np.unique(d)) == len(d)
+    assert ((d >> np.uint64(6)) == (p >> np.uint64(6))).all()
+    # rows whose probable docid is unique must keep it
+    uniq, cnt = np.unique(p, return_counts=True)
+    solo = np.isin(p, uniq[cnt == 1])
+    assert (d[solo] == p[solo]).all()
+
+
 def test_cc_min_label_rounds_matches_union_find(_ray):
     """The distributed min-label hash-join CC (the >driver_edge_max
     path) must produce the exact union-find labeling: long chains force
