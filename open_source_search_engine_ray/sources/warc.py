@@ -54,12 +54,30 @@ def parse_warc_bytes(data: bytes):
         if wtype != "response" or not url:
             continue
         status, ctype, body = _parse_http_payload(payload)
-        yield {
+        yield _rec(url, status, ctype, body)
+
+
+def _rec(url: str, status: int, ctype: str, body: bytes) -> dict:
+    """Record dict: text bodies decode through the charset chain; binary
+    convertible bodies (PDF/DOC/... — stages/convert.py taxonomy) stay
+    raw in ``body_raw`` for the DocConvertStage."""
+    from ..stages.convert import CONVERTIBLE, get_content_type
+
+    if get_content_type(ctype) in CONVERTIBLE:
+        return {
             "url": url,
             "http_status": status,
             "content_type": ctype,
-            "body": to_utf8(body, ctype),
+            "body": "",
+            "body_raw": body,
         }
+    return {
+        "url": url,
+        "http_status": status,
+        "content_type": ctype,
+        "body": to_utf8(body, ctype),
+        "body_raw": b"",
+    }
 
 
 def parse_arc_bytes(data: bytes):
@@ -91,12 +109,7 @@ def parse_arc_bytes(data: bytes):
         if url.startswith("filedesc://") or "://" not in url:
             continue
         status, ctype, body = _parse_http_payload(payload)
-        yield {
-            "url": url,
-            "http_status": status,
-            "content_type": ctype,
-            "body": to_utf8(body, ctype),
-        }
+        yield _rec(url, status, ctype, body)
 
 
 def _parse_http_payload(payload: bytes):
@@ -175,32 +188,44 @@ def read_warc_dataset(paths, fmt: str = "warc"):
     def explode(batch):
         import pyarrow as pa
 
-        urls, statuses, ctypes, bodies = [], [], [], []
+        urls, statuses, ctypes, bodies, raws = [], [], [], [], []
         for blob in batch["bytes"].to_pylist():
             for rec in parse(blob):
                 urls.append(rec["url"])
                 statuses.append(rec["http_status"])
                 ctypes.append(rec["content_type"])
                 bodies.append(rec["body"])
+                raws.append(rec["body_raw"])
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "http_status": pa.array(statuses, pa.int32()),
                 "content_type": pa.array(ctypes, pa.string()),
                 "body": pa.array(bodies, pa.string()),
+                "body_raw": pa.array(raws, pa.binary()),
             }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def corpus_to_documents(paths, fmt: str = "warc"):
+def corpus_to_documents(paths, fmt: str = "warc", convert_concurrency: int = 2):
     """Archived real-web corpus → documents(doc_id, spans) via the
     general HTML extractor (full entity decoding + charset chain) —
-    the ingestion path for non-SynthWeb pages."""
+    the ingestion path for non-SynthWeb pages.  Binary documents
+    (PDF/DOC/... ) pass through the DocConvertStage actor pool first
+    (XmlDoc.cpp:9729-9736 gbfilter semantics); rows it cannot convert
+    are dropped like the reference's gbfilter read-error path."""
+    from ..stages.convert import CONVERTIBLE, DocConvertStage
     from .htmlparse import extract_span_rows
 
-    ds = read_warc_dataset(paths, fmt=fmt)
+    ds = read_warc_dataset(paths, fmt=fmt).map_batches(
+        DocConvertStage,
+        concurrency=convert_concurrency,
+        batch_size=64,  # bodies are large; keep batches small
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
 
     def to_docs(batch):
         import pyarrow as pa
@@ -208,13 +233,17 @@ def corpus_to_documents(paths, fmt: str = "warc"):
         from ..stages.fetch import SPAN_TYPE
 
         ids, spans = [], []
-        for url, status, ctype, body in zip(
+        for url, status, ctype, body, ct, ok in zip(
             batch["url"].to_pylist(),
             batch["http_status"].to_pylist(),
             batch["content_type"].to_pylist(),
             batch["body"].to_pylist(),
+            batch["ct"].to_pylist(),
+            batch["convert_ok"].to_pylist(),
         ):
-            if status == 200 and body and "html" in (ctype or "html"):
+            is_html = "html" in (ctype or "html")
+            is_converted = ct in CONVERTIBLE and ok
+            if status == 200 and body and (is_html or is_converted):
                 ids.append(url)
                 spans.append(extract_span_rows(body))
         return pa.table(
