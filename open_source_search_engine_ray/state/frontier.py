@@ -655,124 +655,304 @@ class FrontierCore:
                 )
             ).astype(np.uint8)
             flags_f = flags[fresh_idx] | np.where(www_f, np.uint8(RQ_WWW), np.uint8(0))
-            n0 = self.store.n
-            append_src: list[int] = []  # batch row index per new store row
-            append_fpos: list[int] = []  # position within fresh subset
-            # in-batch merges into not-yet-appended rows are tracked here
-            # as q -> [hop, added, disc] overrides applied at append time
-            pend_mod: dict[int, list] = {}
-            uh_l = uh[fresh_idx].tolist()
-            ip_l = ips[fresh_idx].tolist()
-            srh_l = srh_all[fresh_idx].tolist()
-            hop_l = hop[fresh_idx].tolist()
-            added_l = added[fresh_idx].tolist()
+            uh_f = uh[fresh_idx]
+            srh_f = srh_all[fresh_idx]
+            ips_f = ips[fresh_idx]
+            hop_f = hop[fresh_idx]
+            added_f = added[fresh_idx]
+            uh_list = uh_f.tolist()
+            # ---- vectorized classification: the common crawl case is a
+            # brand-new uh48 on a non-overflowing IP — those rows take
+            # the bulk path below (C-level dict bulk probes/updates +
+            # grouped numpy appends); only merges against existing rows,
+            # force-deleted uh48s, overflow-capable IPs and multi-srh
+            # variants of one uh48 fall to the per-row loop (rare)
+            slow = np.fromiter(
+                map(self.uh_rows.__contains__, uh_list), bool, nf
+            )
+            if self.deleted:
+                dl = self.deleted
+                slow |= np.fromiter((u in dl for u in uh_list), bool, nf)
+            # same uh48 under different srh within this batch (flag
+            # variants, e.g. reindex) — route every copy to the loop
+            o_all = np.lexsort((srh_f, uh_f))
+            uo, so = uh_f[o_all], srh_f[o_all]
+            gfirst = np.ones(nf, dtype=bool)
+            gfirst[1:] = (uo[1:] != uo[:-1]) | (so[1:] != so[:-1])
+            ufirst = np.ones(nf, dtype=bool)
+            ufirst[1:] = uo[1:] != uo[:-1]
+            mv = gfirst & ~ufirst  # group start whose uh48 repeats
+            if mv.any():
+                slow |= np.isin(uh_f, np.unique(uo[mv]))
             cap = self.cfg.overflow_cap
+            uip, ucnt = np.unique(ips_f, return_counts=True)
+            big = [
+                v
+                for v, c in zip(uip.tolist(), ucnt.tolist())
+                if len(self.by_ip.get(v, ())) + c >= cap
+            ]
+            if big:
+                slow |= np.isin(ips_f, np.asarray(big, dtype=np.int64))
+            fidx = np.nonzero(~slow)[0]
+            sidx = np.nonzero(slow)[0]
             st = self.store
-            for j in range(nf):
-                u48 = uh_l[j]
-                if u48 in self.deleted:
-                    continue
-                ip = ip_l[j]
-                pend = self.by_ip.get(ip)
-                if pend is not None and len(pend) >= cap and u48 not in pend:
-                    # hot-IP overflow: stop harvesting new URLs for this IP
-                    self.metrics["overflow_dropped"] = self.metrics.get("overflow_dropped", 0) + 1
-                    continue
-                key = (u48, srh_l[j])
-                row = self.row_of.get(key)
-                if row is None:
-                    newly_seen = u48 not in self.uh_rows
-                    row = n0 + len(append_src)
-                    self.row_of[key] = row
-                    cur = self.uh_rows.get(u48)
-                    if cur is None:
-                        self.uh_rows[u48] = row
-                    elif isinstance(cur, int):
-                        self.uh_rows[u48] = [cur, row]
-                    else:
-                        cur.append(row)
-                    append_src.append(int(fresh_idx[j]))
-                    append_fpos.append(j)
-                    if newly_seen:
-                        # URL-seen report entry: exactly once per uh48 (the
-                        # first slot creation), streamed out like the launch log
-                        self._seen_uh.append(u48)
-                        self._seen_url.append(urls_f[j])
-                        if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
-                            self._flush_seen()
-                elif row >= n0:
-                    # merge into a row created earlier in THIS batch
-                    q = row - n0
-                    v = pend_mod.get(q)
-                    if v is None:
-                        i0 = append_fpos[q]
-                        v = [hop_l[i0], added_l[i0], added_l[i0]]
-                        pend_mod[q] = v
-                    v[2] = min(v[2], added_l[j])
-                    # keep min (hop, added) — dedupSpiderdbList outcome
-                    if (hop_l[j], added_l[j]) >= (v[0], v[1]):
-                        admitted += 1  # counted, but merged away
-                        continue
-                    v[0], v[1] = hop_l[j], added_l[j]
-                else:
-                    st.discovery_time[row] = min(int(st.discovery_time[row]), added_l[j])
-                    if (hop_l[j], added_l[j]) >= (
-                        int(st.hop_count[row]),
-                        int(st.added_time[row]),
-                    ):
-                        admitted += 1  # counted, but merged away
-                        continue
-                    st.hop_count[row] = hop_l[j]
-                    st.added_time[row] = added_l[j]
-                if pend is None:
-                    self.by_ip[ip] = {u48}
-                else:
-                    pend.add(u48)
-                if self.in_flight_ip.get(ip, 0) == 0:
-                    self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
-                admitted += 1
-            if append_src:
-                idx = np.array(append_src, dtype=np.int64)
-                fpos = np.array(append_fpos, dtype=np.int64)
-                hop_new = hop[idx]
-                added_new = added[idx]
-                disc_new = added[idx].copy()
-                for q, v in pend_mod.items():
-                    hop_new[q], added_new[q], disc_new[q] = v
-                uh_new = uh[idx]
+            if len(fidx):
+                # every fast row is admitted (created, or merged into the
+                # row its own batch created — counted either way, like
+                # the per-row loop's merge branches)
+                admitted += len(fidx)
+                uh_ff, srh_ff = uh_f[fidx], srh_f[fidx]
+                hop_ff, added_ff = hop_f[fidx], added_f[fidx]
+                # group by (uh48, srh); within a group sort by (hop,
+                # added) so the group head IS the dedupSpiderdbList
+                # lex-min survivor; discovery_time = group min added
+                o = np.lexsort((added_ff, hop_ff, srh_ff, uh_ff))
+                us, ss = uh_ff[o], srh_ff[o]
+                gf = np.ones(len(o), dtype=bool)
+                gf[1:] = (us[1:] != us[:-1]) | (ss[1:] != ss[:-1])
+                gstart = np.nonzero(gf)[0]
+                hop_g = hop_ff[o][gstart]
+                added_g = added_ff[o][gstart]
+                disc_g = np.minimum.reduceat(added_ff[o], gstart)
+                # append order = batch order of each group's first
+                # occurrence (matches the sequential loop)
+                first_pos = np.minimum.reduceat(fidx[o], gstart)
+                gorder = np.argsort(first_pos, kind="stable")
+                fpos_g = first_pos[gorder]  # positions in fresh subset
+                hop_gv = hop_g[gorder]
+                added_gv = added_g[gorder]
+                disc_gv = disc_g[gorder]
+                G = len(fpos_g)
+                n0 = st.n
+                rows_new = list(range(n0, n0 + G))
+                uh_ints = uh_f[fpos_g].tolist()
+                srh_ints = srh_f[fpos_g].tolist()
+                self.row_of.update(
+                    zip(zip(uh_ints, srh_ints), rows_new)
+                )
+                self.uh_rows.update(zip(uh_ints, rows_new))
+                self._seen_uh.extend(uh_ints)
+                self._seen_url.extend(urls_f[fpos_g].tolist())
+                if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
+                    self._flush_seen()
                 inl_cnt = np.fromiter(
-                    (min(len(inl.get(u, ())), 255) for u in uh_new.tolist()),
+                    (min(len(inl.get(u, ())), 255) for u in uh_ints),
                     np.int32,
-                    len(idx),
+                    G,
                 )
                 rep_row = np.fromiter(
-                    (self.reps.row_of.get(u, -1) for u in uh_new.tolist()),
+                    (self.reps.row_of.get(u, -1) for u in uh_ints),
                     np.int64,
-                    len(idx),
+                    G,
                 )
-                self.store.append_block(
+                idx = fresh_idx[fpos_g]
+                st.append_block(
                     {
-                        "uh48": uh_new,
-                        "srh": srh_all[idx],
-                        "first_ip": ips[idx],
+                        "uh48": uh_f[fpos_g],
+                        "srh": srh_f[fpos_g],
+                        "first_ip": ips_f[fpos_g],
                         "dom_hash32": dom32[idx],
                         "site_hash32": site32[idx],
-                        "hop_count": hop_new,
-                        "added_time": added_new,
-                        "discovery_time": disc_new,
-                        "flags": flags_f[fpos],
+                        "hop_count": hop_gv,
+                        "added_time": added_gv,
+                        "discovery_time": disc_gv,
+                        "flags": flags_f[fpos_g],
                         "inlink_cnt": inl_cnt,
                         "rep_row": rep_row,
-                        "url": urls[idx],
-                        "host": np.asarray(cols["host"], dtype=object)[idx],
-                        "tld": tld_f[fpos],
-                        "site_tag": tag_f[fpos],
-                        "in_sitelist": in_sl_f[fpos],
-                        "has_authority_inlink": auth_f[fpos],
+                        "url": urls_f[fpos_g],
+                        "host": hosts_f[fpos_g],
+                        "tld": tld_f[fpos_g],
+                        "site_tag": tag_f[fpos_g],
+                        "in_sitelist": in_sl_f[fpos_g],
+                        "has_authority_inlink": auth_f[fpos_g],
                     }
+                )
+                # by_ip / waiting per DISTINCT ip (set ops are C-level)
+                ip_g = ips_f[fpos_g]
+                oip = np.argsort(ip_g, kind="stable")
+                ips_sorted = ip_g[oip]
+                uh_sorted = uh_f[fpos_g][oip].tolist()
+                bnd = np.nonzero(np.diff(ips_sorted))[0] + 1
+                starts = np.concatenate(([0], bnd))
+                ends = np.concatenate((bnd, [G]))
+                ip_vals = ips_sorted[starts].tolist()
+                by_ip = self.by_ip
+                infl = self.in_flight_ip
+                waiting = self.waiting
+                for s, e, ipv in zip(starts.tolist(), ends.tolist(), ip_vals):
+                    pend = by_ip.get(ipv)
+                    if pend is None:
+                        by_ip[ipv] = set(uh_sorted[s:e])
+                    else:
+                        pend.update(uh_sorted[s:e])
+                    if infl.get(ipv, 0) == 0:
+                        waiting[ipv] = 0  # addToWaitingTree(0)
+            if len(sidx):
+                admitted += self._admit_rows_slow(
+                    sidx,
+                    uh_list,
+                    ips_f.tolist(),
+                    srh_f.tolist(),
+                    hop_f.tolist(),
+                    added_f.tolist(),
+                    urls_f,
+                    hosts_f,
+                    fresh_idx,
+                    dom32,
+                    site32,
+                    flags_f,
+                    tld_f,
+                    tag_f,
+                    in_sl_f,
+                    auth_f,
                 )
         self.metrics["added"] += admitted
         self.metrics["dup_dropped"] += int(n - fresh.sum())
+        return admitted
+
+    def _admit_rows_slow(
+        self,
+        sidx,
+        uh_l,
+        ip_l,
+        srh_l,
+        hop_l,
+        added_l,
+        urls_f,
+        hosts_f,
+        fresh_idx,
+        dom32,
+        site32,
+        flags_f,
+        tld_f,
+        tag_f,
+        in_sl_f,
+        auth_f,
+    ) -> int:
+        """Per-row admission for the rows the bulk path cannot take:
+        merges against existing store rows (min-(hop,added) —
+        dedupSpiderdbList), force-deleted uh48s, overflow-capable IPs
+        and multi-srh flag variants.  Identical semantics to the
+        pre-vectorization loop; rows created by the bulk path land in
+        the plain store-merge branch because ``n0`` is captured after
+        the bulk append."""
+        st = self.store
+        inl = self.inlinks
+        cap = self.cfg.overflow_cap
+        n0 = st.n
+        admitted = 0
+        append_src: list[int] = []  # fresh-subset position per new row
+        # in-batch merges into not-yet-appended rows: q -> [hop, added, disc]
+        pend_mod: dict[int, list] = {}
+        for j in sidx.tolist():
+            u48 = uh_l[j]
+            if u48 in self.deleted:
+                continue
+            ip = ip_l[j]
+            pend = self.by_ip.get(ip)
+            if pend is not None and len(pend) >= cap and u48 not in pend:
+                # hot-IP overflow: stop harvesting new URLs for this IP
+                self.metrics["overflow_dropped"] = (
+                    self.metrics.get("overflow_dropped", 0) + 1
+                )
+                continue
+            key = (u48, srh_l[j])
+            row = self.row_of.get(key)
+            if row is None:
+                newly_seen = u48 not in self.uh_rows
+                row = n0 + len(append_src)
+                self.row_of[key] = row
+                cur = self.uh_rows.get(u48)
+                if cur is None:
+                    self.uh_rows[u48] = row
+                elif isinstance(cur, int):
+                    self.uh_rows[u48] = [cur, row]
+                else:
+                    cur.append(row)
+                append_src.append(j)
+                if newly_seen:
+                    # URL-seen entry: exactly once per uh48 (first slot)
+                    self._seen_uh.append(u48)
+                    self._seen_url.append(urls_f[j])
+                    if self.log_dir and len(self._seen_uh) >= self.cfg.log_flush_rows:
+                        self._flush_seen()
+            elif row >= n0:
+                # merge into a row created earlier in THIS pass
+                q = row - n0
+                v = pend_mod.get(q)
+                if v is None:
+                    i0 = append_src[q]
+                    v = [hop_l[i0], added_l[i0], added_l[i0]]
+                    pend_mod[q] = v
+                v[2] = min(v[2], added_l[j])
+                # keep min (hop, added) — dedupSpiderdbList outcome
+                if (hop_l[j], added_l[j]) >= (v[0], v[1]):
+                    admitted += 1  # counted, but merged away
+                    continue
+                v[0], v[1] = hop_l[j], added_l[j]
+            else:
+                st.discovery_time[row] = min(
+                    int(st.discovery_time[row]), added_l[j]
+                )
+                if (hop_l[j], added_l[j]) >= (
+                    int(st.hop_count[row]),
+                    int(st.added_time[row]),
+                ):
+                    admitted += 1  # counted, but merged away
+                    continue
+                st.hop_count[row] = hop_l[j]
+                st.added_time[row] = added_l[j]
+            if pend is None:
+                self.by_ip[ip] = {u48}
+            else:
+                pend.add(u48)
+            if self.in_flight_ip.get(ip, 0) == 0:
+                self.waiting[ip] = 0  # addToWaitingTree(0) — scan asap
+            admitted += 1
+        if append_src:
+            fpos = np.array(append_src, dtype=np.int64)
+            hop_new = np.array([hop_l[j] for j in append_src], dtype=np.int64)
+            added_new = np.array([added_l[j] for j in append_src], dtype=np.int64)
+            disc_new = added_new.copy()
+            for q, v in pend_mod.items():
+                hop_new[q], added_new[q], disc_new[q] = v
+            uh_ints = [uh_l[j] for j in append_src]
+            inl_cnt = np.fromiter(
+                (min(len(inl.get(u, ())), 255) for u in uh_ints),
+                np.int32,
+                len(fpos),
+            )
+            rep_row = np.fromiter(
+                (self.reps.row_of.get(u, -1) for u in uh_ints),
+                np.int64,
+                len(fpos),
+            )
+            idx = fresh_idx[fpos]
+            st.append_block(
+                {
+                    "uh48": np.array(uh_ints, dtype=np.uint64),
+                    "srh": np.array(
+                        [srh_l[j] for j in append_src], dtype=np.uint64
+                    ),
+                    "first_ip": np.array(
+                        [ip_l[j] for j in append_src], dtype=np.int64
+                    ),
+                    "dom_hash32": dom32[idx],
+                    "site_hash32": site32[idx],
+                    "hop_count": hop_new,
+                    "added_time": added_new,
+                    "discovery_time": disc_new,
+                    "flags": flags_f[fpos],
+                    "inlink_cnt": inl_cnt,
+                    "rep_row": rep_row,
+                    "url": urls_f[fpos],
+                    "host": hosts_f[fpos],
+                    "tld": tld_f[fpos],
+                    "site_tag": tag_f[fpos],
+                    "in_sitelist": in_sl_f[fpos],
+                    "has_authority_inlink": auth_f[fpos],
+                }
+            )
         return admitted
 
     # -- scheduling --------------------------------------------------------
