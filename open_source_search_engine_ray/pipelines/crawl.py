@@ -260,6 +260,15 @@ def _wave_task_body(table_ipc, web_cfg, user_agent, num_partitions, out_dir):
 # 64 keeps medium waves parallel at the same wall time as 128.
 CHUNK_MIN_ROWS = 64
 
+# waves at or below this row count run fetch+parse INLINE on the driver:
+# a politeness-tail wave of a handful of URLs pays a ~20-40 ms Ray task
+# round trip for ~1 ms/URL of compute, and the tail is latency-bound —
+# its wall time IS the crawl's serial floor.  The inline path reuses the
+# same cached stages and route_back_payloads (same tokens, identical
+# results); payloads ride the existing _pending fusion into the next
+# schedule RPC, so a tiny wave costs one schedule RPC and nothing else.
+INLINE_WAVE_ROWS = 48
+
 SMALL_WAVE_ROWS = 1 << 20  # waves up to this size use chunked raw tasks;
 # larger waves go through a full Ray Data pipeline (streaming executor +
 # backpressure + spill matter only once a single wave outgrows memory).
@@ -713,13 +722,29 @@ class _RayCrawlCtx:
         _t0 = _time.perf_counter()
         if small_tables:
             merged = pa.concat_tables(small_tables)
-            # ~4 chunks per CPU: fine-grained enough that stragglers don't
-            # serialize the wave; CHUNK_MIN_ROWS floor measured above
-            _submit_chunks(
-                merged,
-                max(CHUNK_MIN_ROWS, -(-merged.num_rows // (4 * self.ncpu))),
-                futs,
-            )
+            if merged.num_rows <= INLINE_WAVE_ROWS and not futs and not ds_tables:
+                # driver-inline tail wave (see INLINE_WAVE_ROWS)
+                from ..stages.fetch import _cached_fetch, _cached_parse
+
+                recs = _cached_parse(self.web_cfg, P)(
+                    _cached_fetch(self.web_cfg, cfg.user_agent)(merged)
+                )
+                blobs = route_back_payloads(recs, self.out_dir)
+                for p2, blob in blobs.items():
+                    self._pending.setdefault(p2, []).append(blob)
+                    self.events[p2] = 0  # due next wave (fused apply)
+                dt = _time.perf_counter() - _t0
+                self.timing["task_compute"] += dt
+                self.timing["tasks"] += dt
+                _t0 = _time.perf_counter()  # keep "prep" clean of inline time
+            else:
+                # ~4 chunks per CPU: fine-grained enough that stragglers
+                # don't serialize the wave; CHUNK_MIN_ROWS floor measured
+                _submit_chunks(
+                    merged,
+                    max(CHUNK_MIN_ROWS, -(-merged.num_rows // (4 * self.ncpu))),
+                    futs,
+                )
         self.timing["prep"] += _time.perf_counter() - _t0
         if futs:
             _t0 = _time.perf_counter()
@@ -961,25 +986,49 @@ def _complete_blob(self, blob: bytes, token=None) -> int:
     return self.complete(pickle.loads(blob), token=token)
 
 
+def _concat_cols(parts: list) -> dict:
+    if len(parts) == 1:
+        return parts[0]
+    return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
 def _apply_pending(self, blobs) -> int:
     """Apply a list of route-back payloads (bytes or ObjectRefs): the
     steady-state eager-delivery surface (payloads forwarded per chunk
-    task as it finishes) and the driver's pre-checkpoint/final flush."""
+    task as it finishes) and the driver's pre-checkpoint/final flush.
+
+    Payloads are CONCATENATED per kind before application: chunk tasks
+    slice waves at CHUNK_MIN_ROWS, so each per-partition payload holds
+    only a handful of rows — applying them one by one kept the
+    vectorized admission path at per-call fixed-cost scale.  Tokens are
+    consumed up front (same exactly-once semantics: a retried task's
+    duplicate blob is dropped before the concat); admission itself is
+    order-commutative, so batching cannot change results."""
     import pickle
     import time as _time
 
     import ray
 
     t0 = _time.process_time()
-    n = 0
+    req_parts: list = []
+    rep_parts: list = []
     for blob in blobs:
         if not isinstance(blob, bytes):
             blob = ray.get(blob)
         p = pickle.loads(blob)
-        if p.get("req_cols") is not None:
-            n += self.add_requests(p["req_cols"], token=p.get("req_token"))
-        if p.get("rep_cols") is not None:
-            n += self.complete(p["rep_cols"], token=p.get("rep_token"))
+        if p.get("req_cols") is not None and not self._apply_once(
+            p.get("req_token")
+        ):
+            req_parts.append(p["req_cols"])
+        if p.get("rep_cols") is not None and not self._apply_once(
+            p.get("rep_token")
+        ):
+            rep_parts.append(p["rep_cols"])
+    n = 0
+    if req_parts:
+        n += self.add_requests(_concat_cols(req_parts))
+    if rep_parts:
+        n += self.complete(_concat_cols(rep_parts))
     # process_time: CPU seconds, immune to preemption under
     # oversubscription (16 actors + workers on few cores)
     self._apply_secs = getattr(self, "_apply_secs", 0.0) + (

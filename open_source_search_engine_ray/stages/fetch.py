@@ -37,7 +37,7 @@ from ..functions.urlfilter import (
     url_is_root,
     url_is_rssext,
 )
-from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, parse_html_columnar
+from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, get_web, parse_html_columnar
 from ..state.frontier import part_of_ip
 from .canonicalize import resolve_ip
 
@@ -109,7 +109,7 @@ RECORD_SCHEMA = pa.schema(
 
 class FetchStage:
     def __init__(self, web_cfg: WebConfig, user_agent: str = "gigablastbot"):
-        self.web = SynthWeb(web_cfg)
+        self.web = get_web(web_cfg)
         self.ua = user_agent
         self._robots_cache: dict = {}  # host -> RobotsPolicy
 
@@ -211,7 +211,7 @@ class ParseStage:
     LINK_CACHE_MAX = 1 << 19
 
     def __init__(self, web_cfg: WebConfig, num_partitions: int):
-        self.web = SynthWeb(web_cfg)
+        self.web = get_web(web_cfg)
         self.host_ip = {h: int(ip) for h, ip in zip(self.web.hosts, self.web.ips)}
         self.P = num_partitions
         # raw absolute outlink -> (canonical|None, host|None): outlinks
