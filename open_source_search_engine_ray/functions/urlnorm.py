@@ -87,9 +87,19 @@ JSON_EXTENSIONS = frozenset({"json"})
 TLD_BLACKLIST = frozenset({"xxx", "adult"})
 
 
-def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> str | None:
+def canonicalize(
+    url: str,
+    base: str | None = None,
+    add_www: bool = False,
+    titledb_version: int = 128,
+) -> str | None:
     """Return the canonical form of ``url`` (resolved against ``base``), or
-    None if the result is not a fetchable http(s) URL."""
+    None if the result is not a fetchable http(s) URL.
+
+    ``titledb_version`` mirrors Url::set's gate (Url.cpp:1048-1062):
+    <= 122 applies the legacy single-pass ``strip_parameters_v122``
+    instead of the modern UrlParser strip — used when reading
+    legacy-version records."""
     if url is None:
         return None
     if (
@@ -146,10 +156,17 @@ def canonicalize(url: str, base: str | None = None, add_www: bool = False) -> st
     if add_www and "." in host and _registered_domain(host) == host:
         netloc = "www." + netloc
     path = parts.path or "/"
-    path = strip_path_params(path)
+    if titledb_version <= 122:
+        # legacy single-pass strip over path+query (Url.cpp:1048-1051)
+        pq = path + ("?" + parts.query if parts.query else "")
+        pq = strip_parameters_v122(pq)
+        path, _, query = pq.partition("?")
+        path = path or "/"
+    else:
+        path = strip_path_params(path)
+        query = strip_parameters(parts.query, _registered_domain(host))
     if not path.startswith("/"):
         path = "/" + path
-    query = strip_parameters(parts.query, _registered_domain(host))
     path = _encode_non_ascii(path)
     query = _encode_non_ascii(query)
     out = urlunsplit((scheme, netloc, path, query, ""))
@@ -352,6 +369,148 @@ def strip_parameters(query: str, domain: str = "") -> str:
             out.append(p[5] or "&")
         out.append(p[0])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# LEGACY stripParametersv122 port (Url.cpp:162-345): the single-pass
+# strip applied to titledbVersion <= 122 records (Url.cpp:1048-1051).
+# One matched parameter is removed per call, chosen by a fixed priority
+# ladder; unlike the modern UrlParser path there is no re-scan.  Kept
+# for reading legacy-version records; the engine's canonical form uses
+# the modern path (canonicalize(titledb_version=128) default).
+# ---------------------------------------------------------------------------
+
+# (needle, skip_len, case_insensitive, needs_session_id_value) in the
+# exact ladder order of Url.cpp:176-293; the duplicate osCsid/XTCsid
+# block at Url.cpp:212-220 is omitted (it can never match when the
+# first one failed — same needles, same guard)
+_V122_LADDER = (
+    ("PHPSESSID=", 10, True, False),
+    ("SID=", 4, False, False),
+    ("osCsid=", 7, False, True),
+    ("XTCsid=", 7, False, True),
+    ("osCsid/", 7, False, True),
+    ("sid=", 4, False, True),
+    ("jsessionid=", 11, True, False),
+    ("vbsessid=", 9, True, False),
+    ("asesessid=", 10, True, False),
+    ("nlsessid=", 9, True, False),
+    ("psession=", 9, True, False),
+    ("session_id=", 11, True, False),
+    ("sessionid=", 10, True, False),
+    ("sessid=", 7, True, False),
+    ("session=", 8, True, False),
+    ("session/", 8, True, False),
+    ("POSTNUKESID=", 12, True, False),
+    ("auth_sess=", 10, True, False),
+    ("mysid=", 6, True, False),
+    ("oscsid=", 7, True, False),
+    ("cg_sess=", 8, True, False),
+    ("galileoSession", 14, True, False),
+    ("sess=", 5, True, False),
+    (".php?s=", 0, False, False),  # special: 32-hex value (Url.cpp:246-263)
+    ("SES=", 4, False, False),
+    ("elq=", 4, True, False),
+    ("elqat=", 6, True, False),
+    ("elqaid=", 7, True, False),
+    ("elq_mid=", 8, True, False),
+    ("elqTrackId=", 11, True, False),
+    ("utm_term=", 9, True, False),
+    ("utm_hp_ref=", 11, True, False),
+    ("utm_source=", 11, True, False),
+    ("utm_medium=", 11, True, False),
+    ("utm_content=", 12, True, False),
+    ("utm_campaign=", 13, True, False),
+    ("pk_kwd=", 7, True, False),
+    ("pk_source=", 10, True, False),
+    ("pk_medium=", 10, True, False),
+    ("pk_campaign=", 12, True, False),
+    ("trk=", 4, True, False),
+    ("promoid=", 8, True, False),
+    ("promCode=", 9, True, False),
+    ("promoCode=", 10, True, False),
+    ("partnerref=", 11, True, False),
+)
+
+_HEX_LO = frozenset("0123456789abcdef")
+
+
+def _v122_is_session_id(tail: str) -> bool:
+    """isSessionId (Url.cpp:141-160): the REST OF THE URL from the value
+    start must be lowercase-hex, >= 12 chars, with at least one a-f."""
+    count = 0
+    nonnum = 0
+    for c in tail:
+        count += 1
+        if c.isdigit():
+            continue
+        nonnum += 1
+        if c not in _HEX_LO:
+            return False
+    return nonnum > 0 and count >= 12
+
+
+def strip_parameters_v122(s: str) -> str:
+    """One pass of the legacy session-id/tracker strip
+    (stripParametersv122, Url.cpp:162-345) over a full URL string."""
+    # p = first '?' or ';' (Url.cpp:172-179)
+    qpos = len(s)
+    for i, c in enumerate(s):
+        if c in "?;":
+            qpos = i
+            break
+    if qpos == len(s):
+        return s
+    sl = s.lower()
+    tt = -1
+    x = 0
+    for needle, skip, ci, need_sess in _V122_LADDER:
+        if needle == ".php?s=":
+            # strstr(p-4, ".php?s=") then require 32 lowercase-hex chars
+            j = s.find(".php?s=", max(qpos - 4, 0))
+            if j >= 0:
+                val = s[j + 7 :]
+                k = 0
+                while k < len(val) and val[k] in _HEX_LO:
+                    k += 1
+                if k >= 32:
+                    tt, x = j + 5, 2
+                    break
+            continue
+        hay = sl if ci else s
+        pat = needle.lower() if ci else needle
+        j = hay.find(pat, qpos)
+        if j < 0:
+            continue
+        if need_sess and not _v122_is_session_id(s[j + skip :]):
+            continue
+        tt, x = j, skip
+        break
+    if tt < 0:
+        return s
+    # no alnum immediately before (prevents "DAVESID=" — Url.cpp:297-300)
+    if tt > 0 and s[tt - 1].isascii() and s[tt - 1].isalnum():
+        return s
+    a = tt
+    b = a + x
+    # back up to the owning separator (Url.cpp:309-311)
+    while a > 0 and s[a - 1] not in "?&/;":
+        a -= 1
+    if a < len(s) and s[a] == "?":
+        a += 1  # keep the '?'
+    if a > 0 and s[a - 1] == ";":
+        a -= 1  # back up over the matrix-param semicolon
+    # advance over the value (Url.cpp:320-321)
+    while b < len(s) and s[b] not in "&?;":
+        b += 1
+    # session id itself must be >= 5 chars (Url.cpp:324-326)
+    if b - (tt + x) < 5:
+        return s
+    if b < len(s) and s[b] in "&;":
+        b += 1
+    out = s[:a] + s[b:]
+    # trailing '?' / '&' / ';' backs off (Url.cpp:337-339)
+    return out.rstrip("?&;")
 
 
 # path-param (;key=value) rules: jsessionid (MATCH_PARTIAL, ≥20),

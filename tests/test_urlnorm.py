@@ -150,3 +150,68 @@ def test_strip_parameters_validators():
     assert c("http://b.test/app/CFID/322257/x") == c("http://b.test/app/cfid/322257/x")
     # PHPSESSID query (partial matcher) still strips any value
     assert c("http://b.test/a?PHPSESSID=737aec14eb7b360983d4fe39395&p=1") == "http://b.test/a?p=1"
+
+
+def test_strip_parameters_v122():
+    """Legacy single-pass strip (stripParametersv122, Url.cpp:162-345):
+    the reference's own comment examples, the one-match-per-pass
+    behavior, the isSessionId rest-of-string guard, the >=5-char value
+    rule and the no-alnum-before guard."""
+    from open_source_search_engine_ray.functions.urlnorm import (
+        canonicalize,
+        strip_parameters_v122 as v122,
+    )
+
+    # comment examples (Url.cpp:164-170)
+    assert (
+        v122("http://www.b.com/p.jhtml;jsessionid=J4QMFWBG1SPRVWCKUUXCJ0W?pp=1")
+        == "http://www.b.com/p.jhtml?pp=1"
+    )
+    assert (
+        v122("http://www.b.com/?PHPSESSID=737aec14eb7b360983d4fe39395&p=1")
+        == "http://www.b.com/?p=1"
+    )
+    assert (
+        v122("http://www.b.com/default?SID=f320a739cdecb4c3edef67e&p=1")
+        == "http://www.b.com/default?p=1"
+    )
+    # single pass: only the highest-priority match is removed
+    assert (
+        v122("http://k.com/blog?utm_source=kikolani&utm_medium=320banner")
+        == "http://k.com/blog?utm_medium=320banner"
+    )
+    # lowercase sid= needs a lowercase-hex tail >= 12 chars to the END
+    assert v122("http://b.com/?sid=abcdef123456") == "http://b.com/"
+    assert (
+        v122("http://b.com/?sid=abcdef123456&p=1")
+        == "http://b.com/?sid=abcdef123456&p=1"
+    )
+    # value < 5 chars is kept (Url.cpp:324-326)
+    assert v122("http://b.com/?jsessionid=abc") == "http://b.com/?jsessionid=abc"
+    # no alnum before the needle: DAVESID= is not a session id
+    assert v122("http://b.com/?DAVESID=abcdefgh") == "http://b.com/?DAVESID=abcdefgh"
+    # .php?s= needs 32 hex chars
+    assert (
+        v122("http://f.com/t.php?s=8af9d6d0d59e8a3108f3bf3f64166f5a&x=1")
+        == "http://f.com/t.php?x=1"
+    )
+    assert (
+        v122("http://f.com/t.php?s=8af9d6&x=1") == "http://f.com/t.php?s=8af9d6&x=1"
+    )
+    # tracking params (BR 20160117 block); NB the ladder is priority-
+    # ordered single-match: "elqat=" outranks "elqTrackId=", and a
+    # matched-but-short value ABORTS the whole pass (Url.cpp:324-326)
+    assert (
+        v122("http://a.com/e/er?elqTrackId=3de2badc5d7c4a748bc302534682")
+        == "http://a.com/e/er"
+    )
+    assert (
+        v122("http://a.com/e/er?elqTrackId=3de2badc5d7c4a748bc302534682&elqat=2")
+        == "http://a.com/e/er?elqTrackId=3de2badc5d7c4a748bc302534682&elqat=2"
+    )
+    # canonicalize gate: titledb_version <= 122 takes the legacy path
+    legacy = canonicalize(
+        "http://www.b.com/p.jhtml;jsessionid=J4QMFWBG1SPRVWCKUUXCJ0W?pp=1",
+        titledb_version=122,
+    )
+    assert legacy == "http://www.b.com/p.jhtml?pp=1"
