@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "token_counts": T.token_counts,
+        "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
         "ann_topk": T.ann_topk,
         "ann_topk_ivf": T.ann_topk_ivf,
@@ -654,6 +655,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
                    ROUND(list_cosine_similarity(v, v2), 6) AS cosine
             FROM p ORDER BY vec_a
+        """,
+        # Words.cpp-faithful token stream over a decorated corpus: the
+        # planted tokens (comma group, decimal, apostrophe, java++, c#)
+        # must each survive as exactly ONE alnum word, so the expected
+        # counts/lengths are analytic — the oracle mirrors the
+        # decoration verbatim and derives them from the token list
+        "words_alnum_counts": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '), (x, i) ->
+                  CASE WHEN (i-1) % 13 = doc_id % 13 THEN '1,234,567'
+                       WHEN (i-1) % 11 = doc_id % 11 THEN '3.14'
+                       WHEN (i-1) % 7  = doc_id % 7  THEN 'don''t'
+                       WHEN (i-1) % 5  = doc_id % 5  THEN 'java++'
+                       WHEN (i-1) % 3  = doc_id % 3  THEN 'c#'
+                       ELSE x END) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_alnum,
+                   CAST(len(t) - 1 AS BIGINT) AS n_punct,
+                   CAST(list_sum(list_transform(t, w -> length(w)))
+                        AS BIGINT) AS alnum_chars
+            FROM toks ORDER BY doc_id
         """,
         # 64-bit polynomial rolling-hash fingerprint recomputed from
         # bytes in SQL: Σ byte·B^(n−1−i) mod 2^64, B = 1099511628211

@@ -1021,6 +1021,62 @@ def adult_flags(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _words_decorate(toks: list, doc_id: int) -> list:
+    """Deterministic decoration that plants every Words.cpp merge rule
+    (comma groups, decimal point, apostrophe, java++, c#) into the
+    token-soup corpus; mirrored verbatim by the SQL oracle's
+    list_transform CASE chain."""
+    out = []
+    for i0, tok in enumerate(toks):
+        if i0 % 13 == doc_id % 13:
+            out.append("1,234,567")
+        elif i0 % 11 == doc_id % 11:
+            out.append("3.14")
+        elif i0 % 7 == doc_id % 7:
+            out.append("don't")
+        elif i0 % 5 == doc_id % 5:
+            out.append("java++")
+        elif i0 % 3 == doc_id % 3:
+            out.append("c#")
+        else:
+            out.append(tok)
+    return out
+
+
+def words_alnum_counts(sf_dir: str) -> pd.DataFrame:
+    """Words.cpp-faithful token stream (functions/words.py, reference
+    Words.cpp:197-457) over a decorated corpus: every planted token
+    must survive as exactly ONE alnum word (comma-group, decimal,
+    apostrophe, ``java++``, ``c#`` merge rules), so the per-doc counts
+    and total alnum characters are derivable analytically in SQL — a
+    tokenizer that splits ``1,234,567`` or ``don't`` hash-fails on all
+    three columns."""
+    from ..functions.words import words_tokenize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        na_l, np_l, ch_l = [], [], []
+        for t, d in zip(df["text"], df["doc_id"]):
+            dec = _words_decorate(t.split(" "), int(d))
+            toks = words_tokenize(" ".join(dec))
+            alnum = [w for w, al in toks if al]
+            na_l.append(len(alnum))
+            np_l.append(len(toks) - len(alnum))
+            ch_l.append(sum(len(w) for w in alnum))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_alnum": pd.Series(na_l, dtype="int64"),
+                "n_punct": pd.Series(np_l, dtype="int64"),
+                "alnum_chars": pd.Series(ch_l, dtype="int64"),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
