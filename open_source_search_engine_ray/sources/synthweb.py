@@ -264,6 +264,68 @@ class SynthWeb:
                 iv += 1
         return spans
 
+    def page_html(self, host_i: int, page_i: int, title: str = "") -> str:
+        """Fused page renderer: byte-identical to
+        ``render_html(self.page_spans(host_i, page_i), title)`` (pinned
+        in tests/test_synthweb.py) but skips the span-dict layer — the
+        simulated network is the hot loop of every chunk task, and the
+        per-span dict assembly plus the second render walk were ~1/3 of
+        its cost.  RNG draw order matches :meth:`page_spans` exactly, so
+        the web graph is unchanged.  ``_esc`` is skipped for text built
+        from ``_WORDS`` / fixed templates (no escapable chars by
+        construction); link targets keep it (session-id variants carry
+        ``&``-free queries today, but the escape is part of the HTML
+        contract)."""
+        cfg = self.cfg
+        r = _rng(cfg.seed, "page", host_i, page_i)
+        n_spans = int(r.integers(3, 21)) * cfg.span_scale
+        kinds = np.searchsorted(self._KIND_EDGES, r.random(n_spans), side="right")
+        n_text = int((kinds == 0).sum())
+        wc = r.integers(3, 12, size=n_text)
+        word_idx = r.integers(0, len(_WORDS), size=int(wc.sum()))
+        w_off = np.concatenate(([0], np.cumsum(wc))).tolist()
+        n_link = int((kinds == 1).sum())
+        anchor_idx = r.integers(0, len(_WORDS), size=2 * n_link).tolist()
+        targets = self._link_targets(r, host_i, n_link)
+        n_img = int((kinds == 2).sum())
+        img_id = r.integers(0, 50, size=n_img).tolist()
+        img_alt = r.integers(0, 9, size=n_img).tolist()
+        n_vid = int((kinds == 3).sum())
+        vid_id = r.integers(0, 20, size=n_vid).tolist()
+        vid_alt = r.integers(0, 9, size=n_vid).tolist()
+        host = self.hosts[host_i]
+        wl = word_idx.tolist()
+        parts = [f"<html><head><title>{_esc(title)}</title></head><body>"]
+        it = ic = ii = iv = 0
+        for k in kinds.tolist():
+            if k == 0:
+                a, b = w_off[it], w_off[it + 1]
+                it += 1
+                parts.append("<p>")
+                parts.append(" ".join([_WORDS[j] for j in wl[a:b]]))
+                parts.append("</p>")
+            elif k == 1:
+                parts.append('<a href="')
+                parts.append(_esc(targets[ic]))
+                parts.append('">')
+                parts.append(_WORDS[anchor_idx[2 * ic]])
+                parts.append(" ")
+                parts.append(_WORDS[anchor_idx[2 * ic + 1]])
+                parts.append("</a>")
+                ic += 1
+            elif k == 2:
+                parts.append(
+                    f'<img src="http://{host}/img{img_id[ii]}.jpg" alt="alt {img_alt[ii]}">'
+                )
+                ii += 1
+            else:
+                parts.append(
+                    f'<video src="http://{host}/vid{vid_id[iv]}.mp4">clip {vid_alt[iv]}</video>'
+                )
+                iv += 1
+        parts.append("</body></html>")
+        return "".join(parts)
+
     def _link_targets(self, r: np.random.Generator, host_i: int, n: int) -> list:
         """All link targets for one page, with batched draws.  Same
         distributions as of old: Zipf-ish hub bias for cross-host links,
@@ -522,5 +584,6 @@ def fetch_url(web: SynthWeb, url: str) -> FetchResult:
         return FetchResult(url, 301, uf.ERR_SIMPLIFIED_REDIR, "", lat, robots, location=target)
     if loc is None:
         return FetchResult(url, 404, uf.ERR_HTTP_404, "", lat, robots)
-    spans = web.page_spans(*loc)
-    return FetchResult(url, 200, uf.ERR_NONE, render_html(spans, title=url), lat, robots)
+    return FetchResult(
+        url, 200, uf.ERR_NONE, web.page_html(*loc, title=url), lat, robots
+    )

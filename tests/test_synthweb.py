@@ -71,3 +71,26 @@ def test_seeds_and_sitelist():
         c = canonicalize(s)
         assert c is not None and web.url_to_page(c) is not None
     assert len(web.site_list()) < web.cfg.n_hosts  # some hosts excluded
+
+
+def test_page_html_fused_renderer_byte_identical():
+    """page_html (the fused hot-path renderer fetch_url uses) must be
+    byte-identical to render_html(page_spans(...)) — same RNG draw
+    order, same escaping — across dup-link variants and redirects."""
+    from open_source_search_engine_ray.sources.synthweb import (
+        WebConfig,
+        get_web,
+        render_html,
+    )
+
+    web = get_web(
+        WebConfig(
+            n_hosts=60, n_hubs=3, hub_pages=20, max_pages=8,
+            dup_link_frac=0.5, redirect_frac=0.2,
+        )
+    )
+    for i, p in web.iter_pages():
+        t = web.page_url(i, p)
+        assert web.page_html(i, p, title=t) == render_html(
+            web.page_spans(i, p), title=t
+        ), (i, p)
