@@ -509,23 +509,29 @@ def parse_html_columnar(html: str) -> tuple:
     kinds: list = []
     texts: list = []
     refs: list = []
+    ka, ta, ra = kinds.append, texts.append, refs.append
+    # dispatch on lastgroup (one attr read) + numbered group fetches:
+    # groups are text=1, href=2, anchor=3, img=4, alt=5, vid=6, vtext=7
+    # in definition order; an alternative's LAST group names it even
+    # when it matched empty
     for m in _NODE.finditer(html):
-        if m.group("text") is not None:
-            kinds.append("text")
-            texts.append(_unesc(m.group("text")))
-            refs.append("")
-        elif m.group("href") is not None:
-            kinds.append("link")
-            texts.append(_unesc(m.group("anchor")))
-            refs.append(_unesc(m.group("href")))
-        elif m.group("img") is not None:
-            kinds.append("image")
-            texts.append(_unesc(m.group("alt")))
-            refs.append(_unesc(m.group("img")))
+        lg = m.lastgroup
+        if lg == "text":
+            ka("text")
+            ta(_unesc(m.group(1)))
+            ra("")
+        elif lg == "anchor":
+            ka("link")
+            ta(_unesc(m.group(3)))
+            ra(_unesc(m.group(2)))
+        elif lg == "alt":
+            ka("image")
+            ta(_unesc(m.group(5)))
+            ra(_unesc(m.group(4)))
         else:
-            kinds.append("video")
-            texts.append(_unesc(m.group("vtext")))
-            refs.append(_unesc(m.group("vid")))
+            ka("video")
+            ta(_unesc(m.group(7)))
+            ra(_unesc(m.group(6)))
     return kinds, texts, refs
 
 
