@@ -349,9 +349,27 @@ class ParseStage:
                     cache[u] = ent
                 c, host, flags = ent
             else:
-                c = canonicalize(u, base=urls[s])
-                host = outlink_check(c) if c is not None else None
-                flags = _url_flags(c) if host is not None else None
+                # relative link: memoize on (resolution context, link) —
+                # root-relative links need only scheme://host, others the
+                # full base (urljoin directory semantics)
+                base = urls[s]
+                if u.startswith("/"):
+                    sp = base.split("/", 3)
+                    ctx = "/".join(sp[:3]) if len(sp) >= 3 else base
+                else:
+                    ctx = base
+                key = ctx + "\0" + u
+                ent = cache.get(key)
+                if ent is None:
+                    c = canonicalize(u, base=base)
+                    if c is None:
+                        ent = (None, None, None)
+                    else:
+                        ent = (c, outlink_check(c), _url_flags(c))
+                    if len(cache) >= self.LINK_CACHE_MAX:
+                        cache.clear()
+                    cache[key] = ent
+                c, host, flags = ent
             # host is None when the canonical form fails the pure filter;
             # the self-link drop (XmlDoc.cpp:15458) stays outside the memo
             if host is not None and c != urls[s]:
