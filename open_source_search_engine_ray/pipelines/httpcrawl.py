@@ -157,6 +157,13 @@ def run_http_crawl(
     Actor = ray.remote(num_cpus=0.1)(_FetchActor)
     kw = dict(fetcher_kwargs or {})
     kw.setdefault("resolve", resolve)
+    if isinstance(kw.get("proxy"), (str, list, tuple)):
+        # a config spec means the centralized host-#0 form: ONE broker
+        # actor shared by every fetcher (initSpiderProxyStuff registers
+        # the 0x54 handler only on host #0, SpiderProxy.cpp:874-882)
+        from ..state.proxy import make_proxy_broker
+
+        kw["proxy"] = make_proxy_broker(kw["proxy"])
     fetchers = [Actor.remote(user_agent=user_agent, **kw) for _ in range(n_fetchers)]
 
     wave0 = wave

@@ -65,6 +65,7 @@ HAMMER_SCAN_MS = 10  # scanHammerQueue re-scan cadence (Msg13.cpp:2137)
 AUTOCRAWLDELAY_MS = 5000  # Msg13.cpp:1995 (crawldelay once IP is twitchy)
 ROBOTS_TTL_S = 24 * 3600  # Msg13.cpp:477-494
 BAN_STATUSES = frozenset({403, 999, 503})  # ipWasBanned, Msg13.cpp:993-1007
+DELAYPERBAN_MS = 500  # Msg13.cpp:1991: self-imposed delay per banned proxy
 
 _CRLF = b"\r\n"
 
@@ -183,6 +184,23 @@ class HttpFetchStage:
     connecting to a resolved address); None lazily becomes
     ``ssl.create_default_context()``.  TLS handshake/cert failures map
     to ``ERR_TLS`` (permanent — reference ESSLERROR, Errno.h:152).
+
+    **Spider proxies** (SpiderProxy.cpp + Msg13.cpp:615-660,1040-1090):
+    ``proxy`` is a :class:`~..state.proxy.ProxyAllocator`, a
+    ``make_proxy_broker`` Ray actor handle (the host-#0 form), or a
+    config spec string.  ``force_use_proxies`` routes every download
+    through a proxy (m_forceUseFloaters); ``auto_use_proxies`` routes
+    only twitchy IPs (cr->m_automaticallyUseProxies +
+    isIpInTwitchyTable, Msg13.cpp:630-636).  A proxied download that
+    comes back looking IP-banned (conn reset / empty reply / HTTP
+    403/999/503 — never for robots.txt) bans the (urlIp, proxy) pair at
+    the allocator and retries through the next proxy while
+    ``has_more_proxies_to_try`` (gotHttpReply9, Msg13.cpp:1040-1090);
+    the reply's ``num_banned_proxies`` raises the self-imposed crawl
+    delay to ``num_banned * DELAYPERBAN`` ms (Msg13.cpp:2046-2052).
+    HTTP goes through the proxy as an absolute-URI GET with
+    ``Proxy-Authorization``; HTTPS tunnels via CONNECT then upgrades
+    the stream with start_tls.
     """
 
     def __init__(
@@ -197,6 +215,9 @@ class HttpFetchStage:
         auto_backoff: bool = True,
         crawl_delay_from_end: bool = False,
         auto_crawl_delay_ms: int = AUTOCRAWLDELAY_MS,
+        proxy=None,
+        force_use_proxies: bool = False,
+        auto_use_proxies: bool = False,
     ):
         self.ua = user_agent
         self.resolve = resolve
@@ -221,13 +242,35 @@ class HttpFetchStage:
         self._last_dl: dict = {}
         self._twitchy: set = set()
         self.fetch_count = 0  # downloads issued (incl. retries), tests
+        if isinstance(proxy, (str, list, tuple)):
+            from ..state.proxy import ProxyAllocator
+
+            proxy = ProxyAllocator(proxy)
+        self.proxy = proxy
+        # a Ray actor handle exposes .get_proxy.remote; a local
+        # allocator exposes .get_proxy directly
+        self._proxy_is_actor = proxy is not None and hasattr(
+            getattr(proxy, "get_proxy", None), "remote"
+        )
+        self.force_use_proxies = force_use_proxies and proxy is not None
+        self.auto_use_proxies = auto_use_proxies and proxy is not None
 
     # -- low-level download -------------------------------------------
 
-    async def _download(self, url: str) -> _FetchResult:
+    async def _download(self, url: str, lease=None) -> _FetchResult:
         fr = _FetchResult()
         host, port, path, https = _split_host(url)
-        if self.resolve is not None:
+        proxy_auth = ""
+        if lease is not None:
+            # the proxy resolves the origin; we connect to the proxy
+            addr, aport = lease.ip, lease.port
+            if lease.userpwd:
+                import base64
+
+                proxy_auth = "Proxy-Authorization: Basic " + base64.b64encode(
+                    lease.userpwd.encode("latin-1")
+                ).decode("ascii") + "\r\n"
+        elif self.resolve is not None:
             target = self.resolve.get(host)
             if target is None:
                 fr.err_code = urlfilter.ERR_DNS
@@ -244,8 +287,10 @@ class HttpFetchStage:
                 return fr
             aport = port
         self.fetch_count += 1
+        default = 443 if https else 80
+        hostport = host if port == default else f"{host}:{port}"
         ssl_kw = {}
-        if https:
+        if https and lease is None:
             if self.ssl_context is None:
                 import ssl as _ssl
 
@@ -258,8 +303,35 @@ class HttpFetchStage:
                 asyncio.open_connection(addr, aport, **ssl_kw),
                 self.connect_timeout_s,
             )
+            if lease is not None and https:
+                # CONNECT tunnel then TLS upgrade in place
+                connect = (
+                    f"CONNECT {host}:{port} HTTP/1.1\r\n"
+                    f"Host: {host}:{port}\r\n{proxy_auth}\r\n"
+                )
+                writer.write(connect.encode("latin-1"))
+                await writer.drain()
+                head = await asyncio.wait_for(
+                    reader.readuntil(b"\r\n\r\n"), self.connect_timeout_s
+                )
+                if b" 200" not in head.split(b"\r\n", 1)[0]:
+                    fr.err_code = urlfilter.ERR_NET_UNREACH
+                    return fr
+                if self.ssl_context is None:
+                    import ssl as _ssl
+
+                    self.ssl_context = _ssl.create_default_context()
+                await writer.start_tls(
+                    self.ssl_context, server_hostname=host
+                )
+            if lease is not None and not https:
+                # plain HTTP through a proxy = absolute-URI request
+                target_line = f"GET http://{hostport}{path} HTTP/1.1\r\n"
+            else:
+                target_line = f"GET {path} HTTP/1.1\r\n"
             req = (
-                f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+                f"{target_line}Host: {hostport}\r\n"
+                f"{proxy_auth if not https else ''}"
                 f"User-Agent: {self.ua}\r\nAccept-Encoding: gzip\r\n"
                 f"Connection: close\r\n\r\n"
             )
@@ -268,6 +340,11 @@ class HttpFetchStage:
             raw = await asyncio.wait_for(reader.read(-1), self.read_timeout_s)
         except asyncio.TimeoutError:
             fr.err_code = urlfilter.ERR_TCP_TIMEOUT
+            return fr
+        except asyncio.IncompleteReadError:
+            # proxy hung up mid-CONNECT: empty-reply ban heuristic
+            fr.err_code = urlfilter.ERR_HTTP_500
+            fr.banned = True
             return fr
         except _ssl_module.SSLError:
             # handshake / cert failure — permanent (ESSLERROR); before
@@ -296,9 +373,70 @@ class HttpFetchStage:
             parsed.banned = True
         return parsed
 
+    # -- spider proxies ---------------------------------------------------
+
+    async def _proxy_get(self, url_ip: int, ban_lease=None):
+        """msg 0x54 round trip (handleRequest54): passing ``ban_lease``
+        both returns it and bans the (urlIp, proxy) pair first."""
+        ban_key = ban_lease.key() if ban_lease is not None else None
+        ban_lb = ban_lease.lb_id if ban_lease is not None else None
+        if self._proxy_is_actor:
+            import ray
+
+            ref = self.proxy.get_proxy.remote(url_ip, ban_key, ban_lb)
+            loop = asyncio.get_running_loop()
+            tup = await loop.run_in_executor(None, ray.get, ref)
+            from ..state.proxy import ProxyLease
+
+            return ProxyLease(*tup)
+        return self.proxy.get_proxy(url_ip, ban_key, ban_lb)
+
+    async def _proxy_return(self, url_ip: int, lease) -> None:
+        """msg 0x55 (OP_RETPROXY) — fire-and-forget, like the
+        reference's reply-less return when banning."""
+        if self._proxy_is_actor:
+            self.proxy.return_proxy.remote(url_ip, lease.key(), lease.lb_id)
+            return
+        self.proxy.return_proxy(url_ip, lease.key(), lease.lb_id)
+
+    def _proxy_health(self, lease, err_code: int) -> None:
+        """Feed download outcome into the proxy's m_lastDownloadError
+        (the reference learns it from test-url downloads; we use the
+        real ones). Only transport-level failures indict the PROXY —
+        ban statuses indict the target site and go to the ban table."""
+        bad = err_code in (
+            urlfilter.ERR_TCP_TIMEOUT,
+            urlfilter.ERR_NET_UNREACH,
+            urlfilter.ERR_DNS,
+        )
+        if self._proxy_is_actor:
+            if bad:
+                self.proxy.mark_error.remote(lease.key(), err_code)
+            else:
+                self.proxy.mark_ok.remote(lease.key())
+        elif bad:
+            self.proxy.mark_error(lease.key(), err_code)
+        else:
+            self.proxy.mark_ok(lease.key())
+
+    async def _proxied_fetch(self, url: str, url_ip: int, lease,
+                             rotate: bool = True) -> _FetchResult:
+        """gotHttpReply9 (Msg13.cpp:1040-1090): on a banned-looking
+        reply, ban this proxy for this url-IP and retry through the
+        next while the broker says more remain; robots.txt fetches set
+        ``rotate=False`` (ipWasBanned skips robots, Msg13.cpp:962)."""
+        while True:
+            fr = await self._download(url, lease=lease)
+            self._proxy_health(lease, fr.err_code)
+            if rotate and fr.banned and lease.has_more_proxies_to_try:
+                lease = await self._proxy_get(url_ip, ban_lease=lease)
+                continue
+            await self._proxy_return(url_ip, lease)
+            return fr
+
     # -- robots ---------------------------------------------------------
 
-    async def _robots(self, host: str, any_url: str):
+    async def _robots(self, host: str, any_url: str, proxy_ip=None):
         now = time.monotonic()
         hit = self._robots_cache.get(host)
         if hit is not None and hit[0] > now:
@@ -309,7 +447,13 @@ class HttpFetchStage:
         scheme_host = (
             f"{scheme}://{h}:{port}" if port != default else f"{scheme}://{h}"
         )
-        fr = await self._download(f"{scheme_host}/robots.txt")
+        if proxy_ip is not None and self.proxy is not None:
+            lease = await self._proxy_get(proxy_ip)
+            fr = await self._proxied_fetch(
+                f"{scheme_host}/robots.txt", proxy_ip, lease, rotate=False
+            )
+        else:
+            fr = await self._download(f"{scheme_host}/robots.txt")
         # non-200 (or error) robots = allow-all with no crawl-delay; the
         # reply is cached either way (Msg13.cpp:477-494 cache semantics)
         txt = ""
@@ -353,7 +497,12 @@ class HttpFetchStage:
         elapsed_ms)."""
         t0 = time.monotonic()
         async with self._sem:
-            pol = await self._robots(host, url)
+            # proxy decision (downloadTheDocForReals2, Msg13.cpp:615-644):
+            # forced, or automatic for twitchy IPs
+            use_proxy = self.force_use_proxies or (
+                self.auto_use_proxies and ip in self._twitchy
+            )
+            pol = await self._robots(host, url, ip if use_proxy else None)
             cd = pol.crawl_delay_ms
             if not pol.is_allowed(get_path_with_query(url)):
                 fr = _FetchResult()
@@ -364,15 +513,27 @@ class HttpFetchStage:
                 eff_cd = acd  # Msg13.cpp:2030-2041
             else:
                 eff_cd = max(cd, 0)
+            lease = None
+            if use_proxy:
+                # lease before the hammer queue: its num_banned_proxies
+                # drives the self-imposed delay (Msg13.cpp:2046-2052)
+                lease = await self._proxy_get(ip)
+                ban_cd = lease.num_banned_proxies * DELAYPERBAN_MS
+                if ban_cd > eff_cd:
+                    eff_cd = ban_cd
             was_twitchy = ip in self._twitchy  # m_wasInTableBeforeStarting
             await self._hammer_wait(ip, eff_cd)
             start_ms = time.monotonic() * 1000.0
-            fr = await self._download(url)
+            if lease is not None:
+                fr = await self._proxied_fetch(url, ip, lease)
+            else:
+                fr = await self._download(url)
             self._hammer_done(ip, start_ms)
             if fr.banned and self.auto_backoff:
                 self._twitchy.add(ip)  # addIpToTwitchyTable
-                if not was_twitchy:
-                    # retry once with the new backoff (Msg13.cpp:1186-1206)
+                if not was_twitchy and lease is None:
+                    # retry once with the new backoff (Msg13.cpp:1186-1206);
+                    # proxied fetches already rotated through the broker
                     await self._hammer_wait(ip, self.auto_crawl_delay_ms)
                     start_ms = time.monotonic() * 1000.0
                     fr = await self._download(url)
