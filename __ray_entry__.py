@@ -484,8 +484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cust_without_orders": R.q_cust_without_orders,
         "q_sample": R.q_sample,
         "q_union_distinct": R.q_union_distinct,
+        "q10_returned_items": R.q10_returned_items,
+        "q7_volume_shipping": R.q7_volume_shipping,
         # training-data ops
         "dedup_exact": T.dedup_exact,
+        "clean_corpus": T.clean_corpus,
         "token_counts": T.token_counts,
         "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
@@ -996,6 +999,57 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
                 WHERE doc_id % 3 = 0
             ) GROUP BY text
+        """,
+        "clean_corpus": """
+            WITH aug AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+                WHERE doc_id % 3 = 0
+            ), dedup AS (
+                SELECT lang,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY text ORDER BY doc_id
+                       ) AS rn
+                FROM aug
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM dedup WHERE rn = 1 AND n_tokens >= 40
+            GROUP BY lang ORDER BY lang
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= DATE '1997-01-01'
+              AND o.o_orderdate < DATE '1997-07-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "q7_volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+                OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "token_counts": """
             SELECT doc_id,

@@ -49,6 +49,9 @@ def bget(ref):
 def np_lookup(keys: np.ndarray, sorted_keys: np.ndarray, values: np.ndarray, default):
     """Vectorized hash-join substitute: binary-search ``keys`` against a
     broadcast (sorted_keys, values) pair; misses get ``default``."""
+    if sorted_keys.size == 0:
+        miss = np.zeros(len(keys), dtype=bool)
+        return np.full(len(keys), default), miss
     idx = np.searchsorted(sorted_keys, keys)
     idx = np.clip(idx, 0, len(sorted_keys) - 1)
     hit = sorted_keys[idx] == keys
@@ -679,3 +682,143 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_acctbal"] = out["sum_acctbal"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+
+    Scale plan: lineitem partial-aggregates revenue per orderkey inside
+    map_batches (only 'R' rows survive the batch); the quarter-filtered
+    orders side is measured by ``sized_inner_join`` (broadcast when
+    small, distributed hash join otherwise); the customer/nation name
+    joins run on the TOP-20 rows only — dimension tables are probed
+    with a 20-key mask, never materialized wholesale."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-07-01")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.assign(revenue=rev).groupby("l_orderkey", as_index=False)[
+            "revenue"
+        ].sum()
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
+
+    def filt_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[keep, ["o_orderkey", "o_custkey"]]
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filt_orders, batch_format="pandas", batch_size=128 * 1024)
+
+    j = sized_inner_join(li, orders, "l_orderkey", "o_orderkey")
+    agg = group_sum(j, ["o_custkey"], {"revenue": "revenue"})
+    agg["revenue"] = agg["revenue"].round(2)
+    top = (
+        agg.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(20)
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
+
+    karr = np.sort(top["c_custkey"].to_numpy())
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        _, hit = np_lookup(df["c_custkey"].to_numpy(), karr, karr, -1)
+        return df.loc[hit]
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(pick, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_name", "n_name", "revenue"]]
+    return out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Scale plan: the two nation-filtered dimension sides (supplier keys
+    -> nation, customer keys -> nation via orders) are broadcast as
+    sorted key arrays (each is a nation-filtered slice, not the whole
+    dimension); lineitem partial-aggregates (orderkey, supp_nation,
+    year) inside map_batches; the orders->cust_nation side goes through
+    the size-adaptive join; the final (nation, nation, year) rollup has
+    bounded cardinality."""
+    import ray
+
+    n1, n2 = "NATION_3", "NATION_8"
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nation.set_index("n_name")["n_nationkey"]
+    keys = {int(nk[n1]), int(nk[n2])}
+    names = {int(nk[n1]): n1, int(nk[n2]): n2}
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(keys)]
+    s_sorted = np.sort(sup["s_suppkey"].to_numpy())
+    s_nat = sup.set_index("s_suppkey").loc[s_sorted, "s_nationkey"].to_numpy()
+    sref = ray.put({"keys": s_sorted, "nat": s_nat})
+
+    cus = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cus = cus[cus["c_nationkey"].isin(keys)]
+    c_sorted = np.sort(cus["c_custkey"].to_numpy())
+    c_nat = cus.set_index("c_custkey").loc[c_sorted, "c_nationkey"].to_numpy()
+    cref = ray.put({"keys": c_sorted, "nat": c_nat})
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = bget(sref)
+        nat, hit = np_lookup(df["l_suppkey"].to_numpy(), s["keys"], s["nat"], -1)
+        df = df.loc[hit].assign(supp_nat=nat[hit])
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        df = df.assign(
+            revenue=rev, l_year=df["l_shipdate"].dt.year.astype("int64")
+        )
+        return df.groupby(
+            ["l_orderkey", "supp_nat", "l_year"], as_index=False
+        )["revenue"].sum()
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
+
+    def ord_side(df: pd.DataFrame) -> pd.DataFrame:
+        c = bget(cref)
+        nat, hit = np_lookup(df["o_custkey"].to_numpy(), c["keys"], c["nat"], -1)
+        return df.loc[hit, ["o_orderkey"]].assign(cust_nat=nat[hit])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        ord_side, batch_format="pandas", batch_size=128 * 1024
+    )
+
+    j = sized_inner_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["supp_nat"] != df["cust_nat"]]
+
+    j = j.map_batches(cross_only, batch_format="pandas", batch_size=128 * 1024)
+    agg = group_sum(j, ["supp_nat", "cust_nat", "l_year"], {"revenue": "revenue"})
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["supp_nation"] = agg["supp_nat"].map(names)
+    agg["cust_nation"] = agg["cust_nat"].map(names)
+    out = agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)

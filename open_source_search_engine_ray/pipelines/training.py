@@ -1086,3 +1086,53 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """C4-style training-corpus cleaning in ONE pipeline: exact dedup
+    (keep min doc_id per identical text, same augmented input as
+    :func:`dedup_exact`) -> minimum-length filter (>= 40 whitespace
+    tokens) -> per-language rollup of the kept corpus.
+
+    Scale shape: augmentation + fingerprint + token count are
+    vectorized map_batches; the dedup reduce is relational.group_agg
+    (partial agg -> measured combine); the final rollup has
+    lang-cardinality rows.  At 100 TB the per-lang rollup folds into
+    the same combine (it is a second grouped sum over the dedup
+    output), so nothing row-scale ever sits on the driver beyond the
+    deduped key frame group_agg already bounds."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 3 == 0].copy()
+        c["doc_id"] += AUG_OFFSET
+        return pd.concat([df, c], ignore_index=True)
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        df["fp"] = ts.fingerprint_batch(df["text"].tolist()).astype("uint64")
+        df["n_tokens"] = df["text"].str.split(" ").str.len().astype("int64")
+        return df[["doc_id", "fp", "lang", "n_tokens"]]
+
+    ds = ds.map_batches(aug, batch_format="pandas").map_batches(
+        feats, batch_format="pandas"
+    )
+
+    from .relational import group_agg
+
+    # duplicates share text, hence lang and n_tokens: min is exact
+    dedup = group_agg(
+        ds,
+        ["fp"],
+        {
+            "doc_id": ("doc_id", "min"),
+            "lang": ("lang", "min"),
+            "n_tokens": ("n_tokens", "min"),
+        },
+    )
+    kept = dedup[dedup["n_tokens"] >= 40]
+    out = kept.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
