@@ -156,12 +156,30 @@ def _q_canonicalize(sf_dir: str):
 
 
 def _q_uh48(sf_dir: str):
-    from open_source_search_engine_ray.functions.gbhash import uh48_batch
-    from open_source_search_engine_ray.sources.synthweb import SynthWeb
+    """Bit-exact hash64b/uh48 kernel (reference hash.h:59-67,
+    Spider.h:729-732), oracle-checked: both sides construct URLs from
+    customer keys; the oracle recomputes the Zobrist XOR fold in SQL
+    against the inlined g_hashtab cells (only the position x alphabet
+    cells this construction can touch — the full 256x256 table stays
+    md5-pinned in tests/test_hash.py, which also covers SynthWeb and
+    reference vectors)."""
+    import ray.data as rd
 
-    web = SynthWeb(_crawl_web())
-    urls = [web.page_url(i, p) for i, p in web.iter_pages()]
-    return pd.DataFrame({"url": urls, "uh48": uh48_batch(urls).astype("uint64")})
+    from open_source_search_engine_ray.functions.gbhash import uh48_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        urls = [
+            f"http://www.h{int(k)}.test/p{int(k) % 7}.html"
+            for k in df["c_custkey"]
+        ]
+        return pd.DataFrame(
+            {"url": urls, "uh48": uh48_batch(urls).astype("int64")}
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
 
 
 def _q_robots(sf_dir: str):
@@ -536,7 +554,42 @@ def oracle_sql() -> dict[str, str]:
         for w in sorted(words)
     )
     _NEEDLE_VALUES = ",".join(f"('{needle}', {w})" for needle, w in DIRTY_NEEDLES)
+
+    # g_hashtab cells the crawl_uh48 URL construction can touch:
+    # positions 0..39 x the fixed URL alphabet, as signed BIGINT
+    from open_source_search_engine_ray.functions.gbhash import HASHTAB
+
+    _UH48_ALPHA = sorted(set("http://www.h.test/p.html0123456789"))
+
+    def _i64(v: int) -> int:
+        v = int(v)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    _HASH_CELLS = ",".join(
+        f"({p},{ord(c)},{_i64(HASHTAB[p, ord(c)])})"
+        for p in range(40)
+        for c in _UH48_ALPHA
+    )
     return {
+        "crawl_uh48": f"""
+            WITH urls AS (
+              SELECT 'http://www.h' || CAST(c_custkey AS VARCHAR)
+                     || '.test/p' || CAST(c_custkey % 7 AS VARCHAR)
+                     || '.html' AS url
+              FROM customer
+            ), tab(pos, byte, val) AS (VALUES {_HASH_CELLS}),
+            b AS (
+              SELECT url, UNNEST(range(0, length(url))) AS pos FROM urls
+            ), bb AS (
+              SELECT url, pos,
+                     unicode(substring(url, CAST(pos AS INT) + 1, 1)) AS byte
+              FROM b
+            )
+            SELECT bb.url,
+                   bit_xor(t.val) & 281474976710655 AS uh48
+            FROM bb JOIN tab t ON t.pos = bb.pos AND t.byte = bb.byte
+            GROUP BY bb.url ORDER BY bb.url
+        """,
         "q_cust_without_orders": """
             SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
             FROM customer c
