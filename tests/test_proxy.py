@@ -542,3 +542,72 @@ def test_broker_actor_pool(origin, ray_session):
     finally:
         p1.stop()
         p2.stop()
+
+
+def test_http_crawl_through_proxy_broker(ray_session, tmp_path):
+    """run_http_crawl with a spec-string ``proxy`` builds ONE shared
+    ProxyBroker actor and every fetch actor routes through it — the
+    e2e form of the reference's host-#0 msg-0x54 flow."""
+    import pyarrow.dataset as pads
+
+    from open_source_search_engine_ray.functions.urlfilter import UrlFilterRule
+    from open_source_search_engine_ray.pipelines.httpcrawl import run_http_crawl
+    from open_source_search_engine_ray.testing import StaticSiteServer
+
+    sites = {
+        "p1.test": {
+            "/": '<html><body><a href="/a.html">a</a>'
+            '<a href="http://p2.test/">x</a>seed</body></html>',
+            "/a.html": "<html><body>alpha</body></html>",
+        },
+        "p2.test": {
+            "/": '<html><body><a href="/b.html">b</a>beta</body></html>',
+            "/b.html": "<html><body>leaf</body></html>",
+        },
+    }
+    srv = StaticSiteServer(sites).start()
+    proxy = _ForwardProxy(srv.port).start()
+    try:
+        from open_source_search_engine_ray.state.frontier import CrawlConfig
+
+        res = run_http_crawl(
+            seeds=["http://p1.test/"],
+            resolve=srv.resolve_map(),
+            out_dir=str(tmp_path / "out"),
+            cfg=CrawlConfig(
+                num_partitions=2,
+                horizon_ms=60_000,
+                rules=(UrlFilterRule("default", 50, 30.0, 9, 7, 50),),
+            ),
+            n_fetchers=2,
+            fetcher_kwargs={
+                "proxy": f"127.0.0.1:{proxy.port}",
+                "force_use_proxies": True,
+                "connect_timeout_s": 2.0,
+                "read_timeout_s": 2.0,
+            },
+        )
+        docs = pads.dataset(res["docs_dir"], format="parquet").to_table()
+        got = set(docs["doc_id"].to_pylist())
+        assert got == {
+            "http://p1.test/",
+            "http://p1.test/a.html",
+            "http://p2.test/",
+            "http://p2.test/b.html",
+        }
+        # every page download went THROUGH the proxy (origin-form GETs
+        # relayed by the forward proxy), none straight to the origin
+        proxied_gets = {(h, p) for (m, h, p) in proxy.hits if m == "GET"}
+        for host, path in (
+            ("p1.test", "/"),
+            ("p1.test", "/a.html"),
+            ("p2.test", "/"),
+            ("p2.test", "/b.html"),
+        ):
+            assert (host, path) in proxied_gets
+        origin_hits = len([1 for (_, h, p) in srv.hits])
+        proxy_hits = len(proxy.hits)
+        assert origin_hits == proxy_hits  # nothing bypassed the proxy
+    finally:
+        proxy.stop()
+        srv.stop()
