@@ -195,21 +195,16 @@ def _q_robots(sf_dir: str):
     return pd.DataFrame(rows, columns=["host", "path", "allowed", "crawl_delay_ms"])
 
 
-def _q_urlfilter(sf_dir: str):
-    """Filter-DSL assignment over a candidate batch exercising the full
-    predicate set (booleans, reply-gated, quotas, ages, tags)."""
+#: the crawl_urlfilter rule table: 8 extended-predicate rules on top of
+#: the reference "web" profile — shared by the engine query and the SQL
+#: oracle generator so parameters can't drift
+def _urlfilter_rules():
     from open_source_search_engine_ray.functions.urlfilter import (
-        FilterProgram,
-        UrlFilterRule,
-        candidate_columns,
+        UrlFilterRule as R,
         default_web_rules,
-        url_is_permalink_format,
-        url_is_root,
-        url_is_rssext,
     )
 
-    R = UrlFilterRule
-    rules = [
+    return [
         R("isroot && isnew", 81, 7),
         R("isrssext", 78, 1),
         R("ispermalinkformat && isnew", 76, 7),
@@ -219,104 +214,197 @@ def _q_urlfilter(sf_dir: str):
         R("urlage>=86400", 62, 7),
         R("domainpages>=50", 44, 30),
     ] + default_web_rules()
-    prog = FilterProgram(rules)
-    n = 64
+
+
+def _q_urlfilter(sf_dir: str):
+    """Filter-DSL first-match assignment (reference getUrlFilterNum,
+    Spider.cpp:2471-3700) over candidates derived from orders keys,
+    exercising the full predicate set — oracle-checked: the SQL oracle
+    rebuilds the same candidate table from the same key arithmetic and
+    restates the 27-rule cascade as one CASE expression, including the
+    reply gates (`if (!srep) continue`, Spider.cpp:2614-2657: errorcount/
+    spiderwaited/percentchangedperday/hastmperror never match without a
+    reply) and the isnew <=> !hasreply inversion.  The URL-shape flags
+    (isroot/isrssext/ispermalinkformat) are computed by the real
+    classifiers on the engine side but by the construction pattern on
+    the oracle side, so a classifier regression on these forms
+    hash-fails."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.functions.urlfilter import (
+        ERR_HTTP_404,
+        ERR_TCP_TIMEOUT,
+        FilterProgram,
+        candidate_columns,
+        url_is_permalink_format,
+        url_is_root,
+        url_is_rssext,
+    )
+
+    prog = FilterProgram(_urlfilter_rules())
+    k = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"]
+        .astype(np.int64)
+        .to_numpy()
+    )
+    n = k.size
     c = candidate_columns(n)
-    rng = np.random.Generator(np.random.PCG64(42))
     urls = []
-    for i in range(n):
-        if i % 7 == 0:
-            urls.append(f"http://www.h{i:04d}.test/")
-        elif i % 7 == 1:
-            urls.append(f"http://www.h{i:04d}.test/feed.rss")
-        elif i % 7 == 2:
-            urls.append(f"http://www.h{i:04d}.test/2020/11/long-post-title-{i}.html")
+    for kk in k.tolist():
+        r = kk % 7
+        if r == 0:
+            urls.append(f"http://www.h{kk}.test/")
+        elif r == 1:
+            urls.append(f"http://h{kk}.test/feed.rss")
+        elif r == 2:
+            urls.append(f"http://h{kk}.test/2020/11/long-post-title-{kk}.html")
         else:
-            urls.append(f"http://www.h{i:04d}.test/p{i}.html")
+            urls.append(f"http://h{kk}.test/x.html")
+    c["uh48"][:] = k
     c["url"][:] = urls
     c["is_root"][:] = [url_is_root(u) for u in urls]
     c["is_rssext"][:] = [url_is_rssext(u) for u in urls]
     c["is_permalink_format"][:] = [url_is_permalink_format(u) for u in urls]
     c["tld"][:] = "test"
     c["lang"][:] = "en"
-    c["hop_count"][:] = rng.integers(0, 6, n)
-    c["is_www"][:] = rng.random(n) < 0.5
-    c["in_sitelist"][:] = rng.random(n) < 0.9
-    c["had_reply"][:] = rng.random(n) < 0.3
-    c["err_count"][:] = np.where(rng.random(n) < 0.15, rng.integers(1, 4, n), 0)
-    c["err_code"][:] = np.where(c["err_count"] > 0, 1, 0)
-    c["spidered_time"][:] = np.where(c["had_reply"], 1000, 0)
-    c["spiderwaited"][:] = np.where(c["had_reply"], rng.integers(0, 7200, n), 0)
-    c["percentchangedperday"][:] = np.where(rng.random(n) < 0.2, 15.0, 0.0)
-    c["url_age"][:] = rng.integers(0, 200_000, n)
-    c["sitepages"][:] = rng.integers(0, 20, n)
-    c["domainpages"][:] = rng.integers(0, 80, n)
-    c["site_tag"][:] = np.where(rng.random(n) < 0.3, "shallow", "")
+    c["hop_count"][:] = (k // 7) % 5
+    c["is_www"][:] = (k % 3) == 0
+    c["in_sitelist"][:] = (k % 23) != 0
+    had = (k % 4) == 0
+    c["had_reply"][:] = had
+    c["err_count"][:] = np.where(k % 17 == 0, 3, np.where(k % 17 == 1, 1, 0))
+    c["err_code"][:] = np.where(
+        c["err_count"] > 0, np.where(k % 2 == 0, ERR_TCP_TIMEOUT, ERR_HTTP_404), 0
+    )
+    c["spidered_time"][:] = np.where(had, 1000, 0)
+    c["spiderwaited"][:] = np.where(had, (k * 13) % 7200, 0)
+    c["percentchangedperday"][:] = np.where(k % 5 == 0, 15.0, 0.0)
+    c["url_age"][:] = (k * 7919) % 200_000
+    c["sitepages"][:] = k % 20
+    c["domainpages"][:] = (k * 3) % 80
+    c["num_inlinks"][:] = k % 11
+    c["site_tag"][:] = np.where(k % 6 == 0, "shallow", "")
+    c["is_addurl"][:] = (k % 29) == 0
+    c["is_injecting"][:] = (k % 31) == 0
+    c["is_reindex"][:] = (k % 37) == 0
+    c["is_manualadd"][:] = c["is_addurl"] | c["is_injecting"]
     ufn = prog.assign(c)
-    return pd.DataFrame(
-        {
-            "url": c["url"],
-            "rule_index": ufn,
-            "expression": [prog.rules[i].expression if i >= 0 else "" for i in ufn],
-            "priority": [int(prog.priority[i]) if i >= 0 else -1 for i in ufn],
-        }
+    return (
+        pd.DataFrame(
+            {
+                "url": c["url"],
+                "rule_index": ufn.astype(np.int64),
+                "priority": prog.priority[ufn].astype(np.int64),
+                "force_delete": prog.force_delete[ufn].astype(np.int64),
+            }
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
     )
 
 
 def _q_winner_selection(sf_dir: str):
+    """Per-IP winner-tree top-K (reference scanListForWinners +
+    makeWinnerTreeKey, SpiderColl.cpp:3107-3292 / Spider.cpp:985-1013),
+    oracle-checked: candidates are derived from orders keys with unique
+    uh48s and pairwise-distinct spider times, all overdue — under that
+    construction the sequential winner-tree maintenance (insert + evict
+    vs the current tail) provably equals per-IP top-K by the winner key
+    (255-priority, hopcount, spidertime, uh48), which the SQL oracle
+    recomputes with one window function.  The order-dependent paths the
+    construction avoids (same-uh48 merge, overdue-flattened eviction
+    against mixed due times) are pinned by tests/test_schedule.py unit
+    vectors."""
+    import ray.data as rd
+
     from open_source_search_engine_ray.functions.schedule import Req, select_winners
 
-    rng = np.random.Generator(np.random.PCG64(7))
-    cands = []
-    for u in range(40):
+    keys = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"]
+        .astype(np.int64)
+        .to_numpy()
+    )
+    by_ip: dict[int, list] = {}
+    for k in keys.tolist():
         r = Req(
-            url=f"http://h.test/p{u}.html",
-            uh48=int(rng.integers(1, 1 << 48)),
-            first_ip=1,
-            host="h.test",
+            url=f"http://h{k}.test/x.html",
+            uh48=k,
+            first_ip=k % 7,
+            host=f"h{k}.test",
             dom_hash32=1,
             site_hash32=1,
-            hop_count=int(rng.integers(0, 5)),
-            added_time=int(rng.integers(0, 1000)),
+            hop_count=(k // 7) % 5,
+            added_time=100,
         )
-        cands.append((r, int(rng.integers(1, 80)), int(rng.integers(0, 100000))))
-    cands.sort(key=lambda c: c[0].uh48)
-    out = select_winners(cands, now_ms=50_000, max_winners=16)
+        by_ip.setdefault(k % 7, []).append((r, k % 64, 1000 + k))
+    rows = []
+    for ip in sorted(by_ip):
+        cands = sorted(by_ip[ip], key=lambda c: c[0].uh48)
+        out = select_winners(cands, now_ms=10_000_000_000, max_winners=16)
+        for rank, e in enumerate(out):
+            rows.append((ip, rank, e.req.uh48, e.priority, e.spider_time_ms))
     return pd.DataFrame(
-        {
-            "rank": np.arange(len(out), dtype=np.int64),
-            "uh48": [e.req.uh48 for e in out],
-            "priority": [e.priority for e in out],
-            "spider_time_ms": [e.spider_time_ms for e in out],
-        }
+        rows, columns=["ip", "win_rank", "uh48", "priority", "spider_time_ms"]
     )
 
 
 def _q_frontier_dedup(sf_dir: str):
+    """Merge-time spiderdb dedup (reference dedupSpiderdbList,
+    Spider.cpp:3714-4021), oracle-checked: the mixed request/reply list
+    is derived from orders keys with pairwise-distinct reply times and
+    distinct added times per (uh48, srh) request group, so every keep
+    decision is scan-order-independent and the SQL oracle can restate
+    the rules as window functions — newest reply per uh48; lowest
+    (hopcount, addedtime) per (uh48, flag-salted site hash); reindex /
+    fake-first-ip requests dropped when superseded by a newer reply.
+    Scan-order tie-breaking is pinned by tests/test_schedule.py."""
+    import ray.data as rd
+
     from open_source_search_engine_ray.functions.schedule import Rep, Req, dedup_frontier
 
-    rng = np.random.Generator(np.random.PCG64(3))
+    keys = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"]
+        .astype(np.int64)
+        .to_numpy()
+    )
     recs = []
-    for u in range(30):
-        uh = int(rng.integers(1, 1000))
-        if rng.random() < 0.4:
+    for k in keys.tolist():
+        uh = k % 211
+        if k % 5 == 0:
             recs.append(
-                Rep(uh48=uh, spidered_time=int(rng.integers(1, 500)), err_code=0,
+                Rep(uh48=uh, spidered_time=10_000 + k, err_code=0,
                     err_count=0, http_status=200, crawl_delay_ms=-1)
             )
-        recs.append(
-            Req(url=f"http://h.test/p{uh}.html", uh48=uh, first_ip=1, host="h.test",
-                dom_hash32=1, site_hash32=int(rng.integers(1, 3)),
-                hop_count=int(rng.integers(0, 4)), added_time=int(rng.integers(0, 600)))
+        else:
+            recs.append(
+                Req(url=f"http://h.test/p{k}.html", uh48=uh, first_ip=1,
+                    host="h.test", dom_hash32=1,
+                    site_hash32=1 + (k % 3),
+                    hop_count=(k // 211) % 4,
+                    added_time=k,
+                    is_reindex=(k % 7 == 0),
+                    fake_first_ip=(k % 11 == 0),
+                    is_injecting=(k % 13 == 0))
+            )
+    recs.sort(
+        key=lambda r: (
+            r.uh48,
+            isinstance(r, Req),
+            r.added_time if isinstance(r, Req) else r.spidered_time,
         )
-    recs.sort(key=lambda r: (r.uh48, isinstance(r, Req)))
-    out = dedup_frontier(recs)
-    return pd.DataFrame(
-        {
-            "uh48": [r.uh48 for r in out],
-            "kind": ["request" if isinstance(r, Req) else "reply" for r in out],
-        }
     )
+    out = dedup_frontier(recs)
+    rows = []
+    for r in out:
+        if isinstance(r, Req):
+            rows.append((r.uh48, "request", r.srh(), r.hop_count, r.added_time))
+        else:
+            rows.append((r.uh48, "reply", -1, -1, r.spidered_time))
+    df = pd.DataFrame(rows, columns=["uh48", "rec", "srh", "hop_count", "t"])
+    return df.sort_values(["uh48", "rec", "srh", "t"]).reset_index(drop=True)
 
 
 def _q_span_parse(sf_dir: str):
@@ -523,8 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_roundtrip": _q_charset_roundtrip,
         "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
-        # crawl operators (reference-semantics; rows-only here, oracle
-        # equality in tests/test_crawl_e2e.py)
+        # crawl operators (reference-semantics; stateful-streaming ones
+        # are rows-only here with oracle equality in
+        # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
+        # winner selection, spiderdb dedup — are SQL-checked)
         "crawl_e2e": _q_crawl_e2e,
         "crawl_http": _q_crawl_http,
         "crawl_url_seen": _q_crawl_url_seen,
@@ -570,6 +660,62 @@ def oracle_sql() -> dict[str, str]:
         for p in range(40)
         for c in _UH48_ALPHA
     )
+
+    # crawl_urlfilter: rule parameters straight from the shared table so
+    # the oracle can't drift from the engine's FilterProgram; the CASE
+    # conditions below restate each rule's predicates (incl. reply
+    # gates) over the same key arithmetic the engine derives its
+    # candidate columns from
+    from open_source_search_engine_ray.functions.urlfilter import (
+        TMP_ERROR_CODES,
+        FilterProgram as _FP,
+    )
+
+    _ufprog = _FP(_urlfilter_rules())
+    _UF_RULES = ",".join(
+        f"({i},{int(p)},{int(bool(fd))})"
+        for i, (p, fd) in enumerate(zip(_ufprog.priority, _ufprog.force_delete))
+    )
+    _TMP = ",".join(str(x) for x in sorted(TMP_ERROR_CODES))
+    _UF_CASE = " ".join(
+        f"WHEN {cond} THEN {i}"
+        for i, cond in enumerate(
+            [
+                "is_root AND NOT had",  # isroot && isnew
+                "is_rssext",
+                "is_permalink AND NOT had",  # ispermalinkformat && isnew
+                "is_shallow AND sitepages >= 10",  # tag:shallow && sitepages>=10
+                "had AND spiderwaited >= 3600",
+                "had AND pcpd >= 10.0",
+                "url_age >= 86400",
+                "domainpages >= 50",
+                "is_reindex",
+                "NOT (is_addurl OR is_inject) AND NOT in_sitelist",
+                f"had AND errc >= 3 AND err_code IN ({_TMP})",
+                f"had AND errc >= 1 AND err_code IN ({_TMP})",
+                "had AND errc >= 1",
+                "is_addurl",
+                "num_inlinks > 7 AND NOT had",
+                "num_inlinks > 7",
+                "hop = 0 AND is_www AND NOT had",
+                "hop = 0 AND is_www",
+                "hop = 0 AND NOT had",
+                "hop = 0",
+                "hop = 1 AND NOT had",
+                "hop = 1",
+                "hop = 2 AND NOT had",
+                "hop = 2",
+                "hop >= 3 AND NOT had",
+                "hop >= 3",
+                "TRUE",  # default
+            ]
+        )
+    )
+
+    # flag salts for the srh (flag-salted site hash) reconstruction in
+    # crawl_frontier_dedup (Spider.cpp:3867-3880)
+    _SALT_INJ, _SALT_REIDX, _SALT_FAKEIP = 0x42538909, 0x70FB3911, 0x95B8D376
+
     return {
         "crawl_uh48": f"""
             WITH urls AS (
@@ -589,6 +735,112 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(t.val) & 281474976710655 AS uh48
             FROM bb JOIN tab t ON t.pos = bb.pos AND t.byte = bb.byte
             GROUP BY bb.url ORDER BY bb.url
+        """,
+        "crawl_winner_selection": """
+            WITH c AS (
+              SELECT CAST(o_orderkey AS BIGINT) % 7 AS ip,
+                     CAST(o_orderkey AS BIGINT) AS uh48,
+                     CAST(o_orderkey AS BIGINT) % 64 AS priority,
+                     (CAST(o_orderkey AS BIGINT) // 7) % 5 AS hop,
+                     1000 + CAST(o_orderkey AS BIGINT) AS t
+              FROM orders
+            ), r AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY ip
+                       ORDER BY 255 - priority, hop, t, uh48
+                     ) AS rk
+              FROM c
+            )
+            SELECT ip, CAST(rk - 1 AS BIGINT) AS win_rank, uh48,
+                   priority, t AS spider_time_ms
+            FROM r WHERE rk <= 16
+            ORDER BY ip, win_rank
+        """,
+        "crawl_frontier_dedup": f"""
+            WITH k AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+            ), reps AS (
+              SELECT k % 211 AS uh48, 10000 + k AS st FROM k WHERE k % 5 = 0
+            ), best AS (
+              SELECT uh48, MAX(st) AS st FROM reps GROUP BY uh48
+            ), reqs AS (
+              SELECT k % 211 AS uh48,
+                     xor(xor(xor(1 + (k % 3),
+                         CASE WHEN k % 13 = 0 THEN {_SALT_INJ} ELSE 0 END),
+                         CASE WHEN k % 7 = 0 THEN {_SALT_REIDX} ELSE 0 END),
+                         CASE WHEN k % 11 = 0 THEN {_SALT_FAKEIP} ELSE 0 END) AS srh,
+                     (k // 211) % 4 AS hop,
+                     k AS added,
+                     (k % 7 = 0 OR k % 11 = 0) AS droppable
+              FROM k WHERE k % 5 <> 0
+            ), live AS (
+              SELECT r.* FROM reqs r LEFT JOIN best b USING (uh48)
+              WHERE NOT (b.st IS NOT NULL AND b.st > r.added AND r.droppable)
+            ), win AS (
+              SELECT uh48, srh, hop, added,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY uh48, srh ORDER BY hop, added
+                     ) AS rk
+              FROM live
+            )
+            SELECT uh48, 'reply' AS rec, CAST(-1 AS BIGINT) AS srh,
+                   CAST(-1 AS BIGINT) AS hop_count, st AS t
+            FROM best
+            UNION ALL
+            SELECT uh48, 'request' AS rec, srh, hop AS hop_count, added AS t
+            FROM win WHERE rk = 1
+            ORDER BY uh48, rec, srh, t
+        """,
+        "crawl_urlfilter": f"""
+            WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+            ), cand AS (
+              SELECT k,
+                CASE WHEN k % 7 = 0
+                       THEN 'http://www.h' || CAST(k AS VARCHAR) || '.test/'
+                     WHEN k % 7 = 1
+                       THEN 'http://h' || CAST(k AS VARCHAR) || '.test/feed.rss'
+                     WHEN k % 7 = 2
+                       THEN 'http://h' || CAST(k AS VARCHAR)
+                            || '.test/2020/11/long-post-title-'
+                            || CAST(k AS VARCHAR) || '.html'
+                     ELSE 'http://h' || CAST(k AS VARCHAR) || '.test/x.html'
+                END AS url,
+                (k % 7 = 0) AS is_root,
+                (k % 7 = 1) AS is_rssext,
+                (k % 7 = 2) AS is_permalink,
+                (k // 7) % 5 AS hop,
+                (k % 3 = 0) AS is_www,
+                (k % 23 <> 0) AS in_sitelist,
+                (k % 4 = 0) AS had,
+                CASE WHEN k % 17 = 0 THEN 3
+                     WHEN k % 17 = 1 THEN 1 ELSE 0 END AS errc,
+                CASE WHEN k % 17 <= 1
+                       THEN (CASE WHEN k % 2 = 0 THEN 2 ELSE 3 END)
+                     ELSE 0 END AS err_code,
+                CASE WHEN k % 4 = 0 THEN (k * 13) % 7200 ELSE 0 END
+                  AS spiderwaited,
+                CASE WHEN k % 5 = 0 THEN 15.0 ELSE 0.0 END AS pcpd,
+                (k * 7919) % 200000 AS url_age,
+                k % 20 AS sitepages,
+                (k * 3) % 80 AS domainpages,
+                k % 11 AS num_inlinks,
+                (k % 6 = 0) AS is_shallow,
+                (k % 29 = 0) AS is_addurl,
+                (k % 31 = 0) AS is_inject,
+                (k % 37 = 0) AS is_reindex
+              FROM base
+            ), assigned AS (
+              SELECT url, CASE {_UF_CASE} END AS rule_index FROM cand
+            ), rules(rule_index, priority, force_delete) AS (
+              VALUES {_UF_RULES}
+            )
+            SELECT a.url, CAST(a.rule_index AS BIGINT) AS rule_index,
+                   CAST(r.priority AS BIGINT) AS priority,
+                   CAST(r.force_delete AS BIGINT) AS force_delete
+            FROM assigned a JOIN rules r USING (rule_index)
+            ORDER BY a.url
         """,
         "q_cust_without_orders": """
             SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
