@@ -155,6 +155,111 @@ def _q_canonicalize(sf_dir: str):
     return pd.DataFrame(rows, columns=["raw", "base", "canonical"])
 
 
+#: constructed URL forms for the canonicalization expectation oracle —
+#: index = key % 12; each pair is (raw-template, expected-canonical-
+#: template) with {} for the key digits.  Covers: scheme/host lowercase,
+#: default-port strip, fragment strip, validator-gated session params
+#: (PHPSESSID stripped, short s=5 KEPT per the reference validator),
+#: tracking params, ;jsessionid path params, whitespace truncation,
+#: http://http:// collapse, bare-host trailing slash, and the reference's
+#: DELIBERATE non-collapse of dot-segments (Url.cpp keeps them).
+_CANON_FORMS = [
+    ("HTTP://WWW.H{}.TEST/Path/", "http://www.h{}.test/Path/"),
+    ("http://h{}.test:80/a.html", "http://h{}.test/a.html"),
+    ("https://h{}.test:443/a.html", "https://h{}.test/a.html"),
+    ("http://h{}.test/a.html#frag", "http://h{}.test/a.html"),
+    ("http://h{}.test/a.html?PHPSESSID=abc123def456&x=1",
+     "http://h{}.test/a.html?x=1"),
+    ("http://h{}.test/a.html?utm_source=foo&x=1",
+     "http://h{}.test/a.html?x=1"),
+    ("http://h{}.test/a.html;jsessionid=ABCDEF1234567890ABCDEF12",
+     "http://h{}.test/a.html"),
+    ("  http://h{}.test/a.html  ", "http://h{}.test/a.html"),
+    ("http://http://h{}.test/a.html", "http://h{}.test/a.html"),
+    ("http://h{}.test", "http://h{}.test/"),
+    ("http://h{}.test/a.html?s=5&x=1", "http://h{}.test/a.html?s=5&x=1"),
+    ("http://h{}.test/a/../b.html", "http://h{}.test/a/../b.html"),
+]
+
+
+def _q_canonicalize_forms(sf_dir: str):
+    """URL canonicalization over constructed forms (reference
+    Url::set + stripParameters, Url.cpp:162-511), oracle-checked as an
+    expectation oracle (the charset_roundtrip pattern): the engine runs
+    the real canonicalize() on raw URLs built from orders keys; the SQL
+    oracle states the expected canonical string per form.  The organic
+    corpus-wide coverage stays in crawl_canonicalize (rows-only)."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.functions.urlnorm import canonicalize
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["o_orderkey"].astype(np.int64).tolist()
+        canon = [
+            canonicalize(_CANON_FORMS[k % 12][0].format(k)) or ""
+            for k in ks
+        ]
+        return pd.DataFrame({"k": np.asarray(ks, dtype=np.int64), "canonical": canon})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def _q_url_seen_dedup(sf_dir: str):
+    """URL-seen state machine on the 10^10-URL scale path
+    (bloom first level + deletable cuckoo authoritative level,
+    state/urlseen.py; reference Spider.h:729-732 uh48 dedup +
+    PageReindex force-delete/respider), oracle-checked: a key-derived
+    URL stream with duplicates is fed twice with a force-delete of
+    every 10th URL id in between — per id, the first key must be
+    accepted exactly once in pass 1, and pass 2 must re-accept exactly
+    the deleted ids (the bloom alone could never forget them; the
+    cuckoo delete is what resurrects).  The outcome is deterministic
+    for this fixed key set (no cuckoo fingerprint collisions — verified
+    at sf0.001/0.01/0.1); the probabilistic bound is documented in
+    UrlSeen."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.functions.gbhash import uh48_batch
+    from open_source_search_engine_ray.state.urlseen import UrlSeen
+
+    keys = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"]
+        .astype(np.int64)
+        .to_numpy()
+    )
+    keys = np.sort(keys)
+    uid = keys % 300
+    urls = [f"http://h{u}.test/p{u}.html" for u in uid.tolist()]
+    uh = uh48_batch(urls)
+    us = UrlSeen(exact=False)
+    acc1 = us.test_and_add(uh)
+    del_mask = (uid % 10 == 0) & acc1  # one key per deleted id
+    us.delete(uh[del_mask])
+    acc2 = us.test_and_add(uh)
+    df = pd.DataFrame({"uid": uid, "k": keys, "acc1": acc1, "acc2": acc2})
+    out = (
+        df.groupby("uid")
+        .agg(
+            first_k=("k", "min"),
+            n_accepts=("acc1", "sum"),
+        )
+        .reset_index()
+    )
+    out["n_accepts"] = (
+        out["n_accepts"].to_numpy(dtype=np.int64)
+        + df.groupby("uid")["acc2"].sum().to_numpy(dtype=np.int64)
+    )
+    # a correct run accepts each id once in pass 1; pass-1 first_k must
+    # be the id's smallest key (batch dedup keeps the FIRST occurrence)
+    first_acc = df[df["acc1"]].groupby("uid")["k"].min()
+    assert (first_acc == out.set_index("uid")["first_k"]).all()
+    return out.sort_values("uid").reset_index(drop=True)
+
+
 def _q_uh48(sf_dir: str):
     """Bit-exact hash64b/uh48 kernel (reference hash.h:59-67,
     Spider.h:729-732), oracle-checked: both sides construct URLs from
@@ -619,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_http": _q_crawl_http,
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_canonicalize": _q_canonicalize,
+        "crawl_canonicalize_forms": _q_canonicalize_forms,
+        "crawl_url_seen_dedup": _q_url_seen_dedup,
         "crawl_uh48": _q_uh48,
         "crawl_robots": _q_robots,
         "crawl_urlfilter": _q_urlfilter,
@@ -735,6 +842,43 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(t.val) & 281474976710655 AS uh48
             FROM bb JOIN tab t ON t.pos = bb.pos AND t.byte = bb.byte
             GROUP BY bb.url ORDER BY bb.url
+        """,
+        "crawl_canonicalize_forms": (
+            """
+            WITH k AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+            ), c AS (
+              SELECT k, CAST(k AS VARCHAR) AS s, k % 12 AS form FROM k
+            )
+            SELECT k, CASE form """
+            + " ".join(
+                "WHEN {} THEN {}".format(
+                    i,
+                    " || ".join(
+                        x
+                        for pre_post in [exp.split("{}")]
+                        for x in (
+                            (["'" + pre_post[0] + "'"] if pre_post[0] else [])
+                            + ["s"]
+                            + (["'" + pre_post[1] + "'"] if pre_post[1] else [])
+                        )
+                    ),
+                )
+                for i, (_, exp) in enumerate(_CANON_FORMS)
+            )
+            + """ END AS canonical
+            FROM c ORDER BY k
+        """
+        ),
+        "crawl_url_seen_dedup": """
+            WITH k AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+            )
+            SELECT k % 300 AS uid, MIN(k) AS first_k,
+                   CAST(CASE WHEN (k % 300) % 10 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_accepts
+            FROM k GROUP BY uid, (k % 300) % 10
+            ORDER BY uid
         """,
         "crawl_winner_selection": """
             WITH c AS (
