@@ -73,3 +73,17 @@ def test_kill_on_non_checkpoint_wave_resumes_exactly(tmp_path, ray_session):
     assert [(x["wave"], x["part_id"], x["seq"], x["uh48"]) for x in t] == [
         (x["wave"], x["part_id"], x["seq"], x["uh48"]) for x in r
     ]
+
+
+def test_legacy_checkpoint_raises_versioned_error():
+    """A pre-columnar (dict-based) checkpoint blob must fail resume with
+    a clear versioned message, not a KeyError mid-restore."""
+    import pickle
+
+    import pytest
+
+    from open_source_search_engine_ray.state.frontier import FrontierCore
+
+    legacy = pickle.dumps({"part_id": 0, "requests": {}, "replies": {}})
+    with pytest.raises(RuntimeError, match="pre-columnar"):
+        FrontierCore.from_checkpoint_bytes(legacy)

@@ -351,3 +351,32 @@ def test_map_batches_actor_pool_contract(ray_session):
     assert len(out) == 8
     assert (out["http_status"] == 200).all()
     assert out["html"].str.contains("hello fixture").all()
+
+
+def test_malformed_deflate_yields_error_reply():
+    """A body declaring Content-Encoding: deflate that inflates with
+    neither zlib wrapper nor raw-deflate must produce an ERR_HTTP_500
+    error reply row, not raise through the fetch batch (Ray task
+    retries would re-fail identically)."""
+    from open_source_search_engine_ray.functions import urlfilter
+    from open_source_search_engine_ray.stages.httpfetch import _parse_response
+
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n\x00not-deflate\xff\xfe"
+    )
+    fr = _parse_response(raw)
+    assert fr.err_code == urlfilter.ERR_HTTP_500
+
+    # sanity: both accepted deflate framings still inflate
+    import zlib
+
+    payload = b"<html>ok</html>"
+    for body in (
+        zlib.compress(payload),
+        zlib.compress(payload)[2:-4],  # raw deflate (no zlib wrapper)
+    ):
+        fr = _parse_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
+        )
+        assert fr.err_code == 0 and fr.body == payload
