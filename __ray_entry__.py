@@ -822,6 +822,192 @@ def oracle_sql() -> dict[str, str]:
     # flag salts for the srh (flag-salted site hash) reconstruction in
     # crawl_frontier_dedup (Spider.cpp:3867-3880)
     _SALT_INJ, _SALT_REIDX, _SALT_FAKEIP = 0x42538909, 0x70FB3911, 0x95B8D376
+    _SALT_ADDURL = 0x587C5A0B
+
+    # crawl_compact_frontier: the shared fixture log inlined as VALUES
+    # (pos = durable-log scan position); the dedupSpiderdbList rules
+    # (Spider.cpp:3714-4021) are then fully restated as window
+    # functions: newest-reply-wins, supersede of reindex/fake-first-ip
+    # requests by a newer kept reply, min-(hop, added, pos) per
+    # (uh48, flag-salted srh)
+    _fx = _fixture_log().to_pydict()
+    _FIX_VALUES = ",".join(
+        "({},'{}',{},{},{},{},{},{},{},{},{})".format(
+            i,
+            _fx["rec"][i],
+            _fx["uh48"][i],
+            _fx["site_hash32"][i],
+            int(_fx["is_injecting"][i]),
+            int(_fx["is_addurl"][i]),
+            int(_fx["is_reindex"][i]),
+            int(_fx["fake_first_ip"][i]),
+            _fx["hop_count"][i],
+            _fx["added_time"][i],
+            _fx["spidered_time"][i],
+        )
+        for i in range(len(_fx["rec"]))
+    )
+
+    # crawl_robots: host → robots.txt body inlined as VALUES (shared
+    # SynthWeb fixture input); the Robots.cpp/RobotRule.cpp parser +
+    # matcher is then fully restated in SQL — see the query text
+    from open_source_search_engine_ray.sources.synthweb import SynthWeb as _SW
+
+    _rweb = _SW(_crawl_web())
+    _ROBOTS_HOSTS = ",".join(
+        "('{}','{}')".format(
+            _rweb.hosts[i], _rweb.robots_txt(i).replace("'", "''")
+        )
+        for i in range(_rweb.cfg.n_hosts)
+    )
+    _ROBOTS_PATHS = ",".join(
+        f"('{p}')" for p in ("/", "/p1.html", "/private/p4.html", "/x.cgi", "/x.cgi?q=1")
+    )
+
+    # crawl_span_parse expectation oracle (same trust structure as
+    # charset_roundtrip): the generator-side span counts are fixture
+    # INPUT (SynthWeb.page_spans), inlined as VALUES; the engine side
+    # independently renders each page to HTML and re-parses it — the
+    # oracle pins the roundtrip invariant TRUE for every page plus the
+    # exact span count
+    _SPAN_VALUES = ",".join(
+        f"('{_rweb.page_url(i, p)}',{len(_rweb.page_spans(i, p))})"
+        for i, p in _rweb.iter_pages()
+    )
+
+    # Full SQL restatement of the Gigablast robots.txt semantics
+    # (Robots.cpp:150-377, RobotRule.cpp:7-110; the 92-case unit suite
+    # is RobotsTest.cpp): comment strip + field:value line grammar,
+    # UA-group state machine (a User-agent line after group records
+    # starts a new group — gaps-and-islands over prev_rec/prev_ua),
+    # UA-specific group used exclusively over the ``*`` default,
+    # empty-value rules ignored, trailing-``$`` anchor, trailing-``*``
+    # strip on unanchored rules, ``*`` wildcards → RE2, longest-rule
+    # (path len + anchor) first with stable (line-order) ties, default
+    # allow, Crawl-delay float-seconds → truncated int ms (-1 absent).
+    _ROBOTS_SQL = r"""
+        WITH hosts(host, robots) AS (VALUES @HOSTS@),
+        paths(path) AS (VALUES @PATHS@),
+        lines AS (
+          SELECT host, i AS ln, split[i] AS raw
+          FROM (SELECT host, string_split(robots, chr(10)) AS split
+                FROM hosts)
+          CROSS JOIN (SELECT unnest(range(1, 64)) AS i) nums
+          WHERE i <= len(split)
+        ),
+        parsed AS (
+          SELECT host, ln,
+            lower(regexp_extract(split_part(raw, '#', 1),
+              '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 1)) AS fld,
+            regexp_extract(split_part(raw, '#', 1),
+              '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 2) AS val
+          FROM lines
+        ),
+        ok AS (SELECT * FROM parsed WHERE fld <> ''),
+        marks AS (
+          SELECT *,
+            (fld = 'user-agent') AS is_ua,
+            MAX(CASE WHEN fld IN ('allow','disallow','crawl-delay')
+                     THEN ln END) OVER (
+              PARTITION BY host ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS prev_rec,
+            MAX(CASE WHEN fld = 'user-agent' THEN ln END) OVER (
+              PARTITION BY host ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS prev_ua
+          FROM ok
+        ),
+        blocks AS (
+          SELECT *, SUM(CASE WHEN is_ua AND (prev_ua IS NULL
+                               OR COALESCE(prev_rec, 0) > prev_ua)
+                             THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY host ORDER BY ln) AS blk
+          FROM marks
+        ),
+        scope AS (
+          SELECT host, blk,
+            BOOL_OR(is_ua AND val = '*') AS in_def,
+            BOOL_OR(is_ua AND val <> '*' AND val <> ''
+                    AND starts_with('gigablastbot', lower(val))) AS in_ua
+          FROM blocks WHERE blk > 0 GROUP BY host, blk
+        ),
+        hostsel AS (
+          SELECT host, BOOL_OR(in_ua) AS ua_found,
+                 BOOL_OR(in_def) AS def_found
+          FROM scope GROUP BY host
+        ),
+        selrules AS (
+          SELECT b.host, b.ln, (b.fld = 'allow') AS allow, b.val AS rawpath
+          FROM blocks b
+          JOIN scope s USING (host, blk)
+          JOIN hostsel h USING (host)
+          WHERE b.fld IN ('allow','disallow') AND b.val <> ''
+            AND ((h.ua_found AND s.in_ua)
+                 OR (NOT h.ua_found AND h.def_found
+                     AND s.in_def AND NOT s.in_ua))
+        ),
+        norm AS (
+          SELECT host, ln, allow,
+            (rawpath LIKE '%$') AS anchored,
+            CASE WHEN rawpath LIKE '%$' THEN left(rawpath, len(rawpath) - 1)
+                 ELSE rtrim(rawpath, '*') END AS p
+          FROM selrules
+        ),
+        typed AS (
+          SELECT *, (p LIKE '%*%') AS wild,
+            len(p) + CASE WHEN anchored THEN 1 ELSE 0 END AS slen,
+            '^' || replace(
+              regexp_replace(regexp_replace(p, '\*+', '*', 'g'),
+                             '([.^$+?(){}|\[\]\\])', '\\\1', 'g'),
+              '*', '.*')
+            || CASE WHEN anchored THEN '$' ELSE '' END AS rx
+          FROM norm
+        ),
+        matched AS (
+          SELECT t.host, pp.path, t.allow, t.slen, t.ln
+          FROM typed t CROSS JOIN paths pp
+          WHERE CASE WHEN t.wild THEN regexp_matches(pp.path, t.rx)
+                     WHEN t.anchored THEN pp.path = t.p
+                     ELSE starts_with(pp.path, t.p) END
+        ),
+        winner AS (
+          SELECT host, path, allow, ROW_NUMBER() OVER (
+            PARTITION BY host, path ORDER BY slen DESC, ln) AS rk
+          FROM matched
+        ),
+        cd AS (
+          SELECT b.host, b.ln, TRY_CAST(b.val AS DOUBLE) AS d,
+                 s.in_ua, (s.in_def AND NOT s.in_ua) AS only_def
+          FROM blocks b JOIN scope s USING (host, blk)
+          WHERE b.fld = 'crawl-delay'
+            AND TRY_CAST(b.val AS DOUBLE) IS NOT NULL
+        ),
+        ua_delay AS (
+          SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY host ORDER BY ln DESC) AS rk
+            FROM cd WHERE in_ua) WHERE rk = 1
+        ),
+        def_delay AS (
+          SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY host ORDER BY ln DESC) AS rk
+            FROM cd WHERE only_def) WHERE rk = 1
+        )
+        SELECT h.host, p.path,
+          COALESCE(w.allow, TRUE) AS allowed,
+          CASE WHEN COALESCE(hs.ua_found, FALSE) THEN COALESCE(ud.ms, -1)
+               WHEN COALESCE(hs.def_found, FALSE) THEN COALESCE(dd.ms, -1)
+               ELSE -1 END AS crawl_delay_ms
+        FROM hosts h CROSS JOIN paths p
+        LEFT JOIN (SELECT * FROM winner WHERE rk = 1) w
+          ON w.host = h.host AND w.path = p.path
+        LEFT JOIN hostsel hs ON hs.host = h.host
+        LEFT JOIN ua_delay ud ON ud.host = h.host
+        LEFT JOIN def_delay dd ON dd.host = h.host
+        ORDER BY h.host, p.path
+    """
 
     return {
         "crawl_uh48": f"""
@@ -935,6 +1121,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT uh48, 'request' AS rec, srh, hop AS hop_count, added AS t
             FROM win WHERE rk = 1
             ORDER BY uh48, rec, srh, t
+        """,
+        # merge-time dedup over the durable fixture log (shared input
+        # inlined as VALUES with its scan position); dedupSpiderdbList
+        # (Spider.cpp:3714-4021) restated as window functions — see
+        # pipelines/compact.py dedup_log_group for the engine side
+        "crawl_compact_frontier": f"""
+            WITH recs(pos, rec, uh48, site32, inj, au, ri, fip,
+                      hop, added, spid) AS (VALUES {_FIX_VALUES}),
+            salted AS (
+              SELECT *, xor(xor(xor(xor(site32,
+                  CASE WHEN inj = 1 THEN {_SALT_INJ} ELSE 0 END),
+                  CASE WHEN au = 1 THEN {_SALT_ADDURL} ELSE 0 END),
+                  CASE WHEN ri = 1 THEN {_SALT_REIDX} ELSE 0 END),
+                  CASE WHEN fip = 1 THEN {_SALT_FAKEIP} ELSE 0 END) AS srh
+              FROM recs
+            ),
+            keep_rep AS (
+              SELECT uh48, spid FROM (
+                SELECT uh48, spid, ROW_NUMBER() OVER (
+                  PARTITION BY uh48 ORDER BY spid DESC, pos) AS rk
+                FROM salted WHERE rec = 'reply') WHERE rk = 1
+            ),
+            live_req AS (
+              SELECT r.* FROM salted r
+              LEFT JOIN keep_rep b ON b.uh48 = r.uh48
+              WHERE r.rec = 'request'
+                AND NOT (b.spid IS NOT NULL AND b.spid > r.added
+                         AND (r.ri = 1 OR r.fip = 1))
+            ),
+            keep_req AS (
+              SELECT uh48, hop, added FROM (
+                SELECT uh48, hop, added, ROW_NUMBER() OVER (
+                  PARTITION BY uh48, srh ORDER BY hop, added, pos) AS rk
+                FROM live_req) WHERE rk = 1
+            )
+            SELECT 'reply' AS rec, CAST(uh48 AS BIGINT) AS uh48,
+                   CAST(0 AS BIGINT) AS hop_count,
+                   CAST(0 AS BIGINT) AS added_time,
+                   CAST(spid AS BIGINT) AS spidered_time
+            FROM keep_rep
+            UNION ALL
+            SELECT 'request', CAST(uh48 AS BIGINT),
+                   CAST(hop AS BIGINT), CAST(added AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM keep_req
+            ORDER BY uh48, rec, hop_count, added_time
+        """,
+        "crawl_robots": _ROBOTS_SQL.replace("@HOSTS@", _ROBOTS_HOSTS)
+        .replace("@PATHS@", _ROBOTS_PATHS),
+        "crawl_span_parse": f"""
+            SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+                   TRUE AS roundtrip_ok
+            FROM (VALUES {_SPAN_VALUES}) t(doc_id, n_spans)
+            ORDER BY doc_id
         """,
         "crawl_urlfilter": f"""
             WITH base AS (
