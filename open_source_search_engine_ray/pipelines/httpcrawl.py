@@ -202,6 +202,7 @@ def run_http_crawl(
         doc_ids: list = []
         doc_uh: list = []
         doc_spans: list = []
+        doc_lastmod: list = []
         for f, (sub, fut) in futs.items():
             fetched = ipc_to_table(ray.get(fut))
             urls = sub["url"].to_pylist()
@@ -211,6 +212,7 @@ def run_http_crawl(
             errs = fetched["err_code"].to_numpy()
             htmls = fetched["html"].to_pylist()
             redirs = fetched["redir_location"].to_pylist()
+            lastmods = fetched["last_modified"].to_numpy()
 
             langs = []
             hashes = []
@@ -237,6 +239,7 @@ def run_http_crawl(
                 doc_ids.append(url)
                 doc_uh.append(int(sub["uh48"][i].as_py()))
                 doc_spans.append(spans)
+                doc_lastmod.append(int(lastmods[i]))
                 if harvest[i]:
                     for s in spans:
                         if s["kind"] == "link":
@@ -273,6 +276,9 @@ def run_http_crawl(
                     "doc_id": pa.array(doc_ids, pa.string()),
                     "uh48": pa.array(np.asarray(doc_uh, dtype=np.uint64)),
                     "spans": pa.array(doc_spans, SPAN_TYPE),
+                    "last_modified": pa.array(
+                        np.asarray(doc_lastmod, dtype=np.int64)
+                    ),
                     "wave": pa.array([wave - 1] * len(doc_ids), pa.int64()),
                 }
             )

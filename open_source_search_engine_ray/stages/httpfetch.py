@@ -58,6 +58,7 @@ import pyarrow as pa
 
 from ..functions import urlfilter
 from ..functions.charset import to_utf8
+from ..functions.httpdate import parse_http_date
 from ..functions.robots import parse_robots
 from ..functions.urlnorm import get_path_with_query
 
@@ -79,6 +80,8 @@ class _FetchResult:
         "location",
         "banned",
         "reset",
+        "last_modified",
+        "content_length",
     )
 
     def __init__(self):
@@ -89,6 +92,8 @@ class _FetchResult:
         self.location = ""
         self.banned = False
         self.reset = False
+        self.last_modified = -1  # epoch sec (HttpMime m_lastModifiedDate)
+        self.content_length = -1  # declared bytes (HttpMime m_contentLen)
 
 
 def _split_host(url: str) -> tuple:
@@ -128,6 +133,11 @@ def _parse_response(raw: bytes) -> _FetchResult:
         headers[k.strip().lower()] = v.strip()
     fr.content_type = headers.get(b"content-type", b"").decode("latin-1")
     fr.location = headers.get(b"location", b"").decode("latin-1")
+    fr.last_modified = parse_http_date(headers.get(b"last-modified"))
+    try:
+        fr.content_length = int(headers.get(b"content-length", b"-1"))
+    except ValueError:
+        fr.content_length = -1
     if headers.get(b"transfer-encoding", b"").lower() == b"chunked":
         body = _dechunk(body)
     enc = headers.get(b"content-encoding", b"").lower()
@@ -582,6 +592,7 @@ class HttpFetchStage:
         cd_col = np.full(n, -1, dtype=np.int64)
         end = np.zeros(n, dtype=np.int64)
         allowed = np.zeros(n, dtype=bool)
+        lastmod = np.full(n, -1, dtype=np.int64)
         htmls: list = []
         locs: list = []
         for i, u in enumerate(urls):
@@ -591,6 +602,7 @@ class HttpFetchStage:
             cd_col[i] = cd
             allowed[i] = ok
             end[i] = launch_ms[i] + int(elapsed)
+            lastmod[i] = fr.last_modified
             htmls.append(
                 to_utf8(fr.body, fr.content_type) if fr.body else ""
             )
@@ -604,6 +616,7 @@ class HttpFetchStage:
             ("robots_allowed", pa.array(allowed)),
             ("html", pa.array(htmls, pa.string())),
             ("redir_location", pa.array(locs, pa.string())),
+            ("last_modified", pa.array(lastmod)),
         ]:
             out = out.append_column(name, arr)
         return out

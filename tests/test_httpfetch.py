@@ -143,6 +143,17 @@ class _Server:
                     ["Content-Type: text/html", "Content-Encoding: gzip"],
                 )
             )
+        elif path == "/lastmod":
+            writer.write(
+                self._resp(
+                    200,
+                    PAGE.encode(),
+                    [
+                        "Content-Type: text/html",
+                        "Last-Modified: Sun, 06 Nov 1994 08:49:37 GMT",
+                    ],
+                )
+            )
         elif path == "/chunked":
             body = PAGE.encode()
             mid = len(body) // 2
@@ -380,3 +391,30 @@ def test_malformed_deflate_yields_error_reply():
             b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
         )
         assert fr.err_code == 0 and fr.body == payload
+
+
+def test_last_modified_and_content_length_parse():
+    """The MIME tier extracts Last-Modified (HttpMime.cpp
+    m_lastModifiedDate via atotime) and Content-Length; absent headers
+    stay -1."""
+    st = _stage(SRV)
+    out = st(
+        _batch(
+            ["http://plain.test/lastmod", "http://plain.test/a"],
+            ["plain.test"] * 2,
+            [1, 1],
+        )
+    )
+    lm = out["last_modified"].to_pylist()
+    assert lm[0] == 784111777  # Sun, 06 Nov 1994 08:49:37 GMT
+    assert lm[1] == -1
+
+    from open_source_search_engine_ray.stages.httpfetch import _parse_response
+
+    fr = _parse_response(
+        b"HTTP/1.1 200 OK\r\nContent-Length: 5\r\n"
+        b"Last-Modified: Sunday, 06-Nov-94 08:49:37 GMT\r\n\r\nhello"
+    )
+    assert fr.last_modified == 784111777 and fr.content_length == 5
+    fr = _parse_response(b"HTTP/1.1 200 OK\r\nContent-Length: zzz\r\n\r\nx")
+    assert fr.content_length == -1
