@@ -64,6 +64,13 @@ ERR_CONN_RESET = 8  # ECONNRESET — ban signal, NOT in the tmp set
 ERR_TLS = 9  # TLS handshake / cert failure — permanent (ESSLERROR is
 # not in the reference tmp set; the https error path Msg13.cpp:1621-1623
 # reports it as a hard error)
+ERR_DOC_UNCHANGED = 10  # reference EDOCUNCHANGED (Errno.h:75): respider
+# found identical content (hash match, Msg13.cpp:1434-1446; or an HTTP
+# 304 to If-Modified-Since).  Explicitly NOT a tmp error
+# (Spider.cpp:2330-2333), and the reply it produces is rewritten to a
+# SUCCESS (errCode 0, errCount 0, http 200, content hash carried
+# forward — XmlDoc.cpp:14780-14791); the code exists only between the
+# fetch tier and the reply builder.
 # (reference tmp set Spider.cpp:2333-2344: EDNSTIMEDOUT, ETCPTIMEDOUT,
 # EDNSDEAD, EBADIP, ENOMEM, ENETUNREACH, EHOSTUNREACH — ECONNRESET is
 # deliberately absent there; it feeds ipWasBanned instead)

@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.textstats import lang_id
+from ..functions.urlfilter import ERR_DOC_UNCHANGED
 from ..sources.htmlparse import extract_span_rows
 from ..stages.canonicalize import make_request_columns, split_by_partition
 from ..stages.fetch import SPAN_TYPE
@@ -168,7 +169,7 @@ def run_http_crawl(
 
     wave0 = wave
     t0 = time.monotonic()
-    metrics = {"launched": 0, "completed": 0, "errors": 0, "docs": 0}
+    metrics = {"launched": 0, "completed": 0, "errors": 0, "docs": 0, "unchanged": 0}
     while True:
         nxt = min(c.next_event_ms() for c in cores)
         if nxt >= INF or nxt > cfg.horizon_ms:
@@ -182,7 +183,30 @@ def run_http_crawl(
         now = max(wall, nxt)
         if checkpoint_every and wave > wave0 and (wave - wave0) % checkpoint_every == 0:
             _checkpoint(now)
-        launches = [t for c in cores for t in [c.schedule(now, wave)] if t.num_rows]
+        launches = []
+        for c in cores:
+            t = c.schedule(now, wave)
+            if not t.num_rows:
+                continue
+            # old-doc state for respider rows (XmlDoc.cpp:8157-8162):
+            # drives the conditional GET + unchanged-content recycle.
+            # Appended AFTER schedule() so the durable launch log keeps
+            # the LAUNCH_SCHEMA shape.
+            prev = c.prev_reply_state(t["uh48"].to_numpy())
+            t = (
+                t.append_column(
+                    "prev_spidered_time", pa.array(prev["prev_spidered_time"])
+                )
+                .append_column(
+                    "prev_content_hash32",
+                    pa.array(prev["prev_content_hash32"]),
+                )
+                .append_column(
+                    "prev_lang",
+                    pa.array(prev["prev_lang"].tolist(), pa.string()),
+                )
+            )
+            launches.append(t)
         wave += 1
         if not launches:
             continue
@@ -214,14 +238,29 @@ def run_http_crawl(
             redirs = fetched["redir_location"].to_pylist()
             lastmods = fetched["last_modified"].to_numpy()
 
+            prevh = sub["prev_content_hash32"].to_numpy()
+            prevl = sub["prev_lang"].to_pylist()
+
             langs = []
             hashes = []
             out_urls: list = []
             out_bases: list = []
             out_hops: list = []
+            unch_304: list = []  # row idx: 304 replies to rewrite
             for i, url in enumerate(urls):
                 html = htmls[i]
-                hashes.append(zlib.crc32(html.encode()) if html else 0)
+                if int(errs[i]) == ERR_DOC_UNCHANGED:
+                    # 304 to our conditional GET: success reply with the
+                    # old content hash + langId carried forward
+                    # (XmlDoc.cpp:14757,14780-14800); content recycled —
+                    # no doc rewrite, no re-harvest
+                    hashes.append(int(prevh[i]))
+                    langs.append(prevl[i] or "xx")
+                    unch_304.append(i)
+                    metrics["unchanged"] += 1
+                    continue
+                h32 = zlib.crc32(html.encode()) if html else 0
+                hashes.append(h32)
                 if int(statuses[i]) in REDIRECT_STATUSES and redirs[i]:
                     # redirect = hop-preserving outlink (XmlDoc.cpp:15377)
                     out_urls.append(redirs[i])
@@ -230,6 +269,14 @@ def run_http_crawl(
                 if int(statuses[i]) != 200 or int(errs[i]) != 0 or not html:
                     langs.append("xx")
                     metrics["errors"] += int(errs[i]) != 0
+                    continue
+                if prevh[i] and h32 == int(prevh[i]):
+                    # downloaded but identical to the old doc
+                    # (getContentHash32Fast match, Msg13.cpp:1434-1446 →
+                    # EDOCUNCHANGED → recycleContent): reply is already
+                    # a success with the same hash; skip reindex/harvest
+                    langs.append(prevl[i] or "xx")
+                    metrics["unchanged"] += 1
                     continue
                 spans = extract_span_rows(html)
                 text = " ".join(
@@ -250,6 +297,13 @@ def run_http_crawl(
 
             # replies back to the owning cores
             rep = _reply_cols(sub, fetched, langs, hashes)
+            if unch_304:
+                # EDOCUNCHANGED reply rewrite (XmlDoc.cpp:14780-14791):
+                # errCode 0, errCount reset via err 0, "call it 200"
+                for k, v in (("err_code", 0), ("http_status", 200)):
+                    a = rep[k].copy()
+                    a[unch_304] = v
+                    rep[k] = a
             rparts = np.fromiter(
                 (part_of_ip(ip, P) for ip in rep["first_ip"]), np.int64, len(urls)
             )

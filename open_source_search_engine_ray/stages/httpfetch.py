@@ -228,6 +228,7 @@ class HttpFetchStage:
         proxy=None,
         force_use_proxies: bool = False,
         auto_use_proxies: bool = False,
+        use_if_modified_since: bool = False,
     ):
         self.ua = user_agent
         self.resolve = resolve
@@ -263,11 +264,17 @@ class HttpFetchStage:
             getattr(proxy, "get_proxy", None), "remote"
         )
         self.force_use_proxies = force_use_proxies and proxy is not None
+        # the "use ifModifiedSince" collection parm (Parms.cpp:8742-8749)
+        # — OFF by default, matching the reference's own hard-disable
+        # (HttpRequest.cpp:222-223 ims=""); the content-hash unchanged
+        # detection (Msg13.cpp:1434-1446) is active regardless, in the
+        # crawl pipeline's reply builder
+        self.use_if_modified_since = use_if_modified_since
         self.auto_use_proxies = auto_use_proxies and proxy is not None
 
     # -- low-level download -------------------------------------------
 
-    async def _download(self, url: str, lease=None) -> _FetchResult:
+    async def _download(self, url: str, lease=None, ims: int = 0) -> _FetchResult:
         fr = _FetchResult()
         host, port, path, https = _split_host(url)
         proxy_auth = ""
@@ -339,10 +346,17 @@ class HttpFetchStage:
                 target_line = f"GET http://{hostport}{path} HTTP/1.1\r\n"
             else:
                 target_line = f"GET {path} HTTP/1.1\r\n"
+            # the reference's If-Modified-Since line: asctime + " UTC"
+            # with the \n spliced to \r\n (HttpRequest.cpp:206-219)
+            ims_hdr = (
+                f"If-Modified-Since: {time.asctime(time.gmtime(ims))} UTC\r\n"
+                if ims > 0
+                else ""
+            )
             req = (
                 f"{target_line}Host: {hostport}\r\n"
                 f"{proxy_auth if not https else ''}"
-                f"User-Agent: {self.ua}\r\nAccept-Encoding: gzip\r\n"
+                f"User-Agent: {self.ua}\r\n{ims_hdr}Accept-Encoding: gzip\r\n"
                 f"Connection: close\r\n\r\n"
             )
             writer.write(req.encode("latin-1"))
@@ -430,13 +444,13 @@ class HttpFetchStage:
             self.proxy.mark_ok(lease.key())
 
     async def _proxied_fetch(self, url: str, url_ip: int, lease,
-                             rotate: bool = True) -> _FetchResult:
+                             rotate: bool = True, ims: int = 0) -> _FetchResult:
         """gotHttpReply9 (Msg13.cpp:1040-1090): on a banned-looking
         reply, ban this proxy for this url-IP and retry through the
         next while the broker says more remain; robots.txt fetches set
         ``rotate=False`` (ipWasBanned skips robots, Msg13.cpp:962)."""
         while True:
-            fr = await self._download(url, lease=lease)
+            fr = await self._download(url, lease=lease, ims=ims)
             self._proxy_health(lease, fr.err_code)
             if rotate and fr.banned and lease.has_more_proxies_to_try:
                 lease = await self._proxy_get(url_ip, ban_lease=lease)
@@ -502,7 +516,7 @@ class HttpFetchStage:
 
     # -- one launch row ---------------------------------------------------
 
-    async def _fetch_one(self, url: str, host: str, ip: int) -> tuple:
+    async def _fetch_one(self, url: str, host: str, ip: int, ims: int = 0) -> tuple:
         """Returns (_FetchResult, crawl_delay_ms, robots_allowed,
         elapsed_ms)."""
         t0 = time.monotonic()
@@ -535,9 +549,9 @@ class HttpFetchStage:
             await self._hammer_wait(ip, eff_cd)
             start_ms = time.monotonic() * 1000.0
             if lease is not None:
-                fr = await self._proxied_fetch(url, ip, lease)
+                fr = await self._proxied_fetch(url, ip, lease, ims=ims)
             else:
-                fr = await self._download(url)
+                fr = await self._download(url, ims=ims)
             self._hammer_done(ip, start_ms)
             if fr.banned and self.auto_backoff:
                 self._twitchy.add(ip)  # addIpToTwitchyTable
@@ -546,8 +560,14 @@ class HttpFetchStage:
                     # proxied fetches already rotated through the broker
                     await self._hammer_wait(ip, self.auto_crawl_delay_ms)
                     start_ms = time.monotonic() * 1000.0
-                    fr = await self._download(url)
+                    fr = await self._download(url, ims=ims)
                     self._hammer_done(ip, start_ms)
+        if fr.http_status == 304:
+            # Not Modified to our conditional GET → EDOCUNCHANGED; the
+            # reply builder rewrites it to a success with the old
+            # content hash carried forward (XmlDoc.cpp:14780-14791)
+            fr.err_code = urlfilter.ERR_DOC_UNCHANGED
+            fr.body = b""
         return fr, cd, True, (time.monotonic() - t0) * 1000.0
 
     # -- batch contract ----------------------------------------------------
@@ -562,6 +582,15 @@ class HttpFetchStage:
             else np.array([hash(h) & 0x7FFFFFFF for h in hosts])
         )
         launch_ms = batch["launch_ms"].to_numpy()
+        # respider rows carry the previous reply's spidered time; used
+        # for the conditional GET only when the parm is on
+        if (
+            self.use_if_modified_since
+            and "prev_spidered_time" in batch.column_names
+        ):
+            ims_col = batch["prev_spidered_time"].to_numpy()
+        else:
+            ims_col = np.zeros(n, dtype=np.int64)
 
         async def run():
             if self._sem is None:
@@ -569,10 +598,10 @@ class HttpFetchStage:
             # in-flight identical-request dedup (Msg13.cpp:596-616):
             # identical URLs share one download
             tasks: dict = {}
-            for u, h, ip in zip(urls, hosts, ips):
+            for u, h, ip, ims in zip(urls, hosts, ips, ims_col):
                 if u not in tasks:
                     tasks[u] = asyncio.ensure_future(
-                        self._fetch_one(u, h, int(ip))
+                        self._fetch_one(u, h, int(ip), ims=int(ims))
                     )
             await asyncio.gather(*tasks.values())
             return {u: t.result() for u, t in tasks.items()}

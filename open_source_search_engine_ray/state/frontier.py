@@ -1426,6 +1426,29 @@ class FrontierCore:
             self._flush_launches()
         return t
 
+    def prev_reply_state(self, uh48s) -> dict:
+        """Newest-reply columns for a batch of uh48s (0/"" where no
+        reply yet): the old-doc state a respider request carries so the
+        fetch tier can detect unchanged content — the reference fills
+        Msg13Request.m_contentHash32 and m_ifModifiedSince from the old
+        doc (XmlDoc.cpp:8157-8162, 10823)."""
+        rp = self.reps
+        rows = np.fromiter(
+            (rp.row_of.get(int(u), -1) for u in uh48s), np.int64, len(uh48s)
+        )
+        hit = rows >= 0
+        out = {
+            "prev_spidered_time": np.zeros(len(rows), dtype=np.int64),
+            "prev_content_hash32": np.zeros(len(rows), dtype=np.int64),
+            "prev_lang": np.full(len(rows), "", dtype=object),
+        }
+        if hit.any():
+            r = rows[hit]
+            out["prev_spidered_time"][hit] = rp.spidered_time[r]
+            out["prev_content_hash32"][hit] = rp.content_hash32[r]
+            out["prev_lang"][hit] = rp.lang[r]
+        return out
+
     # -- completion --------------------------------------------------------
 
     def complete(self, cols: dict, token=None) -> int:

@@ -22,10 +22,20 @@ class StaticSiteServer:
     allow-all).  Records every hit as (monotonic_s, host, path).
     """
 
-    def __init__(self, sites: dict, robots: dict | None = None):
+    def __init__(
+        self,
+        sites: dict,
+        robots: dict | None = None,
+        last_modified: str | None = None,
+    ):
         self.sites = sites
         self.robots = robots or {}
+        # when set, pages carry this Last-Modified header and a request
+        # with If-Modified-Since answers 304 (fixture content never
+        # changes) — exercises the conditional-GET respider path
+        self.last_modified = last_modified
         self.hits: list = []
+        self.ims_hits: list = []  # (host, path) of conditional GETs
         self.loop = None
         self.port = None
         self._ready = threading.Event()
@@ -56,11 +66,15 @@ class StaticSiteServer:
         self.loop.run_forever()
 
     @staticmethod
-    def _resp(status: int, body: bytes = b"", ctype: str = "text/html") -> bytes:
-        reason = {200: "OK", 404: "Not Found"}.get(status, "OK")
+    def _resp(
+        status: int, body: bytes = b"", ctype: str = "text/html", extra: str = ""
+    ) -> bytes:
+        reason = {200: "OK", 304: "Not Modified", 404: "Not Found"}.get(
+            status, "OK"
+        )
         return (
             f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
+            f"{extra}Content-Length: {len(body)}\r\n\r\n"
         ).encode() + body
 
     async def _handle(self, reader, writer):
@@ -84,10 +98,22 @@ class StaticSiteServer:
                 writer.write(self._resp(200, txt.encode(), "text/plain"))
         else:
             page = self.sites.get(host, {}).get(path)
+            has_ims = any(
+                ln.lower().startswith("if-modified-since:") for ln in lines[1:]
+            )
+            if has_ims:
+                self.ims_hits.append((host, path))
             if page is None:
                 writer.write(self._resp(404))
+            elif self.last_modified and has_ims:
+                writer.write(self._resp(304))
             else:
-                writer.write(self._resp(200, page.encode()))
+                lm = (
+                    f"Last-Modified: {self.last_modified}\r\n"
+                    if self.last_modified
+                    else ""
+                )
+                writer.write(self._resp(200, page.encode(), extra=lm))
         try:
             await writer.drain()
         except ConnectionError:
