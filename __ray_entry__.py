@@ -697,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_distinct": R.q_union_distinct,
         "q10_returned_items": R.q10_returned_items,
         "q7_volume_shipping": R.q7_volume_shipping,
+        "q4_priority_checking": R.q4_priority_checking,
+        "q12_priority_lines": R.q12_priority_lines,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q18_large_orders": R.q18_large_orders,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -1708,6 +1712,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM dedup WHERE rn = 1 AND n_tokens >= 40
             GROUP BY lang ORDER BY lang
+        """,
+        "q4_priority_checking": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1997-09-01'
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q12_priority_lines": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                   ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_linestatus
+            ORDER BY l.l_linestatus
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(
+                100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END)
+                      / SUM(l.l_extendedprice * (1 - l.l_discount)),
+                4) AS promo_revenue_pct
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l.l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 150.0
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         """,
         "q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,

@@ -822,3 +822,184 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["supp_nation", "cust_nation", "l_year"]
     ).reset_index(drop=True)
+
+
+def q4_priority_checking(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: orders per priority with at least one late-shipped
+    line (EXISTS semi-join; the reduced schema has no commitdate, so the
+    existence predicate is l_shipdate >= the cutoff).
+
+    Scale plan: lineitem is filtered + per-batch-deduped inside
+    map_batches, globally deduped by ``group_agg`` (partial dedup per
+    block → size-adaptive combine), and the distinct-orderkey side then
+    goes through ``sized_inner_join`` — broadcast when it measures
+    small, distributed hash join otherwise — so the EXISTS never
+    double-counts and the fact table is never re-scanned."""
+    import ray.data as rd
+
+    cut = pd.Timestamp("1997-09-01")
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["l_shipdate"] >= cut, ["l_orderkey"]].drop_duplicates()
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        filt, batch_format="pandas", batch_size=128 * 1024
+    )
+    distinct = group_agg(li, ["l_orderkey"], {"_m": ("l_orderkey", "min")})[
+        ["l_orderkey"]
+    ]
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = sized_inner_join(
+        orders, rd.from_pandas(distinct), "o_orderkey", "l_orderkey"
+    )
+    out = group_agg(
+        j,
+        ["o_orderpriority"],
+        {"_m": ("o_orderkey", "min")},
+        count_col="order_count",
+    )[["o_orderpriority", "order_count"]]
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape: high/low order-priority line counts per
+    l_linestatus for a one-year shipdate window (the reduced schema has
+    no l_shipmode; linestatus takes its place as the class column).
+
+    Scale plan: the priority class is a 2-bit derivation joined from
+    the orders side; ``sized_inner_join`` picks broadcast vs hash
+    shuffle from the measured build side, and the per-class counts
+    partial-aggregate inside map_batches before a 2-row combine."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        return df.loc[keep, ["l_orderkey", "l_linestatus"]]
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(filt, batch_format="pandas", batch_size=128 * 1024)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = sized_inner_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        return pd.DataFrame(
+            {
+                "l_linestatus": df["l_linestatus"],
+                "high_line_count": high.astype("int64"),
+                "low_line_count": (~high).astype("int64"),
+            }
+        )
+
+    classed = j.map_batches(classify, batch_format="pandas", batch_size=128 * 1024)
+    out = group_sum(
+        classed,
+        ["l_linestatus"],
+        {"high_line_count": "high_line_count", "low_line_count": "low_line_count"},
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from one part type in a
+    one-month shipdate window (p_type = 'ECONOMY' stands in for the
+    PROMO%% prefix — the reduced schema's types are single words).
+
+    Scale plan: the part side is (p_partkey → is-economy), a
+    dimension-sized broadcast probed per batch with ``np_lookup``; the
+    two revenue sums partial-aggregate per batch and combine on the
+    driver as two scalars — no shuffle at all."""
+    import ray
+
+    lo, hi = pd.Timestamp("1997-03-01"), pd.Timestamp("1997-04-01")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    pref = ray.put(
+        {
+            "keys": keys[order],
+            "eco": (part["p_type"].to_numpy() == "ECONOMY")[order].astype(
+                np.float64
+            ),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        df = df.loc[keep]
+        p = bget(pref)
+        eco, hit = np_lookup(df["l_partkey"].to_numpy(), p["keys"], p["eco"], 0.0)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        rev = np.where(hit, rev, 0.0)  # inner-join semantics on misses
+        return pd.DataFrame(
+            {"eco_rev": [float((rev * eco).sum())], "tot_rev": [float(rev.sum())]}
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()
+    )
+    pct = 100.0 * parts["eco_rev"].sum() / parts["tot_rev"].sum()
+    return pd.DataFrame({"promo_revenue_pct": [round(pct, 4)]})
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: customers with any order whose total quantity
+    exceeds the threshold (GROUP BY + HAVING on the fact table, then
+    dimension probes).
+
+    Scale plan: per-order quantity sums via ``group_agg`` (vectorized
+    partials, size-adaptive combine); the HAVING filter leaves a tiny
+    key set, so orders and customer are probed with that set per batch
+    (q10's top-K dimension-probe pattern) — dimension tables are never
+    joined wholesale."""
+    qty_min = 150.0
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = group_agg(li, ["l_orderkey"], {"total_qty": ("l_quantity", "sum")})
+    big = per_order[per_order["total_qty"] > qty_min]
+    karr = np.sort(big["l_orderkey"].to_numpy())
+
+    def pick_orders(df: pd.DataFrame) -> pd.DataFrame:
+        _, hit = np_lookup(df["o_orderkey"].to_numpy(), karr, karr, -1)
+        return df.loc[hit]
+
+    orders = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(pick_orders, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()
+    )
+    carr = np.sort(orders["o_custkey"].unique())
+
+    def pick_cust(df: pd.DataFrame) -> pd.DataFrame:
+        _, hit = np_lookup(df["c_custkey"].to_numpy(), carr, carr, -1)
+        return df.loc[hit]
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick_cust, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()
+    )
+    out = (
+        orders.merge(big, left_on="o_orderkey", right_on="l_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")[
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"]
+        ]
+    )
+    out["total_qty"] = out["total_qty"].round(2)
+    return out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+    ).reset_index(drop=True)
