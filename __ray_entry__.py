@@ -653,8 +653,51 @@ def _q_compact_frontier(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _fixture_log_unique():
+    """Order-independence construction for the cold-start oracle (the
+    crawl_winner_selection trick applied to the full-log scan): one srh
+    per uh48 (constant site_hash32) so admission dedup leaves exactly
+    one row per uh48 and the winner scan takes the vectorized fast path
+    — per-IP top-K by winner key (priority desc, hop, spider time,
+    uh48), which one SQL window restates.  Duplicate uh48 rows with
+    different (hop, added) still exercise the merge dedup; uh%5==0 rows
+    get a reply, whose 7-day respider gate excludes them from winners.
+    """
+    from open_source_search_engine_ray.functions.schedule import Rep, Req
+    from open_source_search_engine_ray.pipelines.compact import (
+        frontier_records_table,
+    )
+
+    reqs, reps = [], []
+    for i in range(400):
+        uh = 1 + i % 200
+        reqs.append(
+            Req(
+                url=f"http://h{uh % 13}.test/p{uh}.html",
+                uh48=uh,
+                first_ip=500 + uh % 13,
+                host=f"h{uh % 13}.test",
+                dom_hash32=uh % 13,
+                site_hash32=1,
+                hop_count=(i * 7) % 5,
+                added_time=1 + (i * 37) % 797,
+            )
+        )
+        if uh % 5 == 0 and i < 200:
+            reps.append(
+                Rep(uh48=uh, spidered_time=100 + uh, err_code=0,
+                    err_count=0, http_status=200, crawl_delay_ms=-1)
+            )
+    return frontier_records_table(reqs, reps)
+
+
 def _q_cold_start(sf_dir: str):
-    """Cold-start full-log winner scan (populateWaitingTreeFromSpiderdb)."""
+    """Cold-start full-log winner scan (populateWaitingTreeFromSpiderdb,
+    SpiderColl.cpp:1465): the real FrontierCore admission + urlfilter
+    cascade + winner selection run per IP-hash bucket over the durable
+    log; the oracle restates the whole path in SQL over the inlined
+    fixture (merge dedup window → default-web-rules CASE on (hop,
+    isnew) → per-IP winner window → launch at now)."""
     import ray.data as rd
 
     from open_source_search_engine_ray.pipelines.compact import cold_start_schedule
@@ -665,10 +708,15 @@ def _q_cold_start(sf_dir: str):
         site_list=tuple(f"h{i}.test" for i in range(13)),
         verify_integrity=False,
     )
-    out = cold_start_schedule(rd.from_arrow(_fixture_log()), cfg, now_ms=2_000_000).to_pandas()
-    return out[["url", "uh48", "first_ip", "priority", "launch_ms"]].sort_values(
-        ["first_ip", "launch_ms", "uh48"]
-    ).reset_index(drop=True)
+    out = cold_start_schedule(
+        rd.from_arrow(_fixture_log_unique()), cfg, now_ms=2_000_000
+    ).to_pandas()
+    out = out[["url", "uh48", "first_ip", "priority", "launch_ms"]].copy()
+    for c in ("uh48", "first_ip", "priority", "launch_ms"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["first_ip", "launch_ms", "uh48"]).reset_index(
+        drop=True
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -850,6 +898,32 @@ def oracle_sql() -> dict[str, str]:
             _fx["spidered_time"][i],
         )
         for i in range(len(_fx["rec"]))
+    )
+
+    # crawl_cold_start_schedule: the order-independence fixture inlined
+    # as VALUES; rule priorities come from the SAME default-web
+    # FilterProgram the engine runs (only the hopcount&&isnew rules are
+    # reachable for never-replied, non-www, in-sitelist, flagless rows)
+    _cs = _fixture_log_unique().to_pydict()
+    _CS_VALUES = ",".join(
+        "({},'{}',{},{},{},{},{})".format(
+            i,
+            _cs["rec"][i],
+            _cs["uh48"][i],
+            _cs["first_ip"][i],
+            _cs["hop_count"][i],
+            _cs["added_time"][i],
+            _cs["spidered_time"][i],
+        )
+        for i in range(len(_cs["rec"]))
+    )
+    from open_source_search_engine_ray.functions.urlfilter import (
+        default_web_rules as _dwr,
+    )
+
+    _dwprog = _FP(_dwr())
+    _CS_RULES = ",".join(
+        f"({i},{int(_dwprog.priority[i])})" for i in (10, 12, 14, 16)
     )
 
     # crawl_robots: host → robots.txt body inlined as VALUES (shared
@@ -1174,6 +1248,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_robots": _ROBOTS_SQL.replace("@HOSTS@", _ROBOTS_HOSTS)
         .replace("@PATHS@", _ROBOTS_PATHS),
+        # populateWaitingTreeFromSpiderdb restated end-to-end: merge
+        # dedup (min hop/added/pos per uh48 — constant srh by
+        # construction), replied rows excluded by the 7-day respider
+        # gate (freq*86400s ≫ now), the default-web cascade reduced to
+        # its reachable hopcount&&isnew rules, per-IP winner = first by
+        # (priority desc, hop, spider-time, uh48) — the engine's
+        # winner-key lexsort — launched at now (wave_window 250ms <
+        # same_ip_wait 1s ⇒ one winner per IP)
+        "crawl_cold_start_schedule": f"""
+            WITH recs(pos, rec, uh48, ip, hop, added, spid) AS (
+              VALUES {_CS_VALUES}
+            ),
+            ded AS (
+              SELECT uh48, ip, hop, added FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY uh48 ORDER BY hop, added, pos) AS rk
+                FROM recs WHERE rec = 'request') WHERE rk = 1
+            ),
+            replied AS (
+              SELECT DISTINCT uh48 FROM recs WHERE rec = 'reply'
+            ),
+            live AS (
+              SELECT d.* FROM ded d
+              LEFT JOIN replied r ON r.uh48 = d.uh48
+              WHERE r.uh48 IS NULL
+            ),
+            rules(rule_index, priority) AS (VALUES {_CS_RULES}),
+            win AS (
+              SELECT l.*, r.priority, ROW_NUMBER() OVER (
+                PARTITION BY l.ip
+                ORDER BY r.priority DESC, l.hop,
+                         GREATEST(l.added * 1000, 1000), l.uh48) AS rk
+              FROM live l JOIN rules r ON r.rule_index =
+                CASE WHEN l.hop = 0 THEN 10
+                     WHEN l.hop = 1 THEN 12
+                     WHEN l.hop = 2 THEN 14
+                     ELSE 16 END
+            )
+            SELECT 'http://h' || CAST(uh48 % 13 AS VARCHAR)
+                   || '.test/p' || CAST(uh48 AS VARCHAR) || '.html' AS url,
+                   CAST(uh48 AS BIGINT) AS uh48,
+                   CAST(ip AS BIGINT) AS first_ip,
+                   CAST(priority AS BIGINT) AS priority,
+                   CAST(2000000 AS BIGINT) AS launch_ms
+            FROM win WHERE rk = 1
+            ORDER BY first_ip, launch_ms, uh48
+        """,
         "crawl_span_parse": f"""
             SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
                    TRUE AS roundtrip_ok
