@@ -790,6 +790,141 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Full SQL restatement of the Gigablast robots.txt semantics
+# (Robots.cpp:150-377, RobotRule.cpp:7-110; the 92-case unit suite
+# is RobotsTest.cpp): comment strip + field:value line grammar,
+# UA-group state machine (a User-agent line after group records
+# starts a new group — gaps-and-islands over prev_rec/prev_ua),
+# UA-specific group used exclusively over the ``*`` default,
+# empty-value rules ignored, trailing-``$`` anchor, trailing-``*``
+# strip on unanchored rules, ``*`` wildcards → RE2, longest-rule
+# (path len + anchor) first with stable (line-order) ties, default
+# allow, Crawl-delay float-seconds → truncated int ms (-1 absent).
+ROBOTS_SQL_TEMPLATE = r"""
+    WITH hosts(host, robots) AS (VALUES @HOSTS@),
+    paths(path) AS (VALUES @PATHS@),
+    lines AS (
+      SELECT host, i AS ln, split[i] AS raw
+      FROM (SELECT host, string_split(robots, chr(10)) AS split
+            FROM hosts)
+      CROSS JOIN (SELECT unnest(range(1, 64)) AS i) nums
+      WHERE i <= len(split)
+    ),
+    parsed AS (
+      SELECT host, ln,
+        lower(regexp_extract(split_part(raw, '#', 1),
+          '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 1)) AS fld,
+        regexp_extract(split_part(raw, '#', 1),
+          '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 2) AS val
+      FROM lines
+    ),
+    ok AS (SELECT * FROM parsed WHERE fld <> ''),
+    marks AS (
+      SELECT *,
+        (fld = 'user-agent') AS is_ua,
+        MAX(CASE WHEN fld IN ('allow','disallow','crawl-delay')
+                 THEN ln END) OVER (
+          PARTITION BY host ORDER BY ln
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS prev_rec,
+        MAX(CASE WHEN fld = 'user-agent' THEN ln END) OVER (
+          PARTITION BY host ORDER BY ln
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS prev_ua
+      FROM ok
+    ),
+    blocks AS (
+      SELECT *, SUM(CASE WHEN is_ua AND (prev_ua IS NULL
+                           OR COALESCE(prev_rec, 0) > prev_ua)
+                         THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY host ORDER BY ln) AS blk
+      FROM marks
+    ),
+    scope AS (
+      SELECT host, blk,
+        BOOL_OR(is_ua AND val = '*') AS in_def,
+        BOOL_OR(is_ua AND val <> '*' AND val <> ''
+                AND starts_with('gigablastbot', lower(val))) AS in_ua
+      FROM blocks WHERE blk > 0 GROUP BY host, blk
+    ),
+    hostsel AS (
+      SELECT host, BOOL_OR(in_ua) AS ua_found,
+             BOOL_OR(in_def) AS def_found
+      FROM scope GROUP BY host
+    ),
+    selrules AS (
+      SELECT b.host, b.ln, (b.fld = 'allow') AS allow, b.val AS rawpath
+      FROM blocks b
+      JOIN scope s USING (host, blk)
+      JOIN hostsel h USING (host)
+      WHERE b.fld IN ('allow','disallow') AND b.val <> ''
+        AND ((h.ua_found AND s.in_ua)
+             OR (NOT h.ua_found AND h.def_found
+                 AND s.in_def AND NOT s.in_ua))
+    ),
+    norm AS (
+      SELECT host, ln, allow,
+        (rawpath LIKE '%$') AS anchored,
+        CASE WHEN rawpath LIKE '%$' THEN left(rawpath, len(rawpath) - 1)
+             ELSE rtrim(rawpath, '*') END AS p
+      FROM selrules
+    ),
+    typed AS (
+      SELECT *, (p LIKE '%*%') AS wild,
+        len(p) + CASE WHEN anchored THEN 1 ELSE 0 END AS slen,
+        '^' || replace(
+          regexp_replace(regexp_replace(p, '\*+', '*', 'g'),
+                         '([.^$+?(){}|\[\]\\])', '\\\1', 'g'),
+          '*', '.*')
+        || CASE WHEN anchored THEN '$' ELSE '' END AS rx
+      FROM norm
+    ),
+    matched AS (
+      SELECT t.host, pp.path, t.allow, t.slen, t.ln
+      FROM typed t CROSS JOIN paths pp
+      WHERE CASE WHEN t.wild THEN regexp_matches(pp.path, t.rx)
+                 WHEN t.anchored THEN pp.path = t.p
+                 ELSE starts_with(pp.path, t.p) END
+    ),
+    winner AS (
+      SELECT host, path, allow, ROW_NUMBER() OVER (
+        PARTITION BY host, path ORDER BY slen DESC, ln) AS rk
+      FROM matched
+    ),
+    cd AS (
+      SELECT b.host, b.ln, TRY_CAST(b.val AS DOUBLE) AS d,
+             s.in_ua, (s.in_def AND NOT s.in_ua) AS only_def
+      FROM blocks b JOIN scope s USING (host, blk)
+      WHERE b.fld = 'crawl-delay'
+        AND TRY_CAST(b.val AS DOUBLE) IS NOT NULL
+    ),
+    ua_delay AS (
+      SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY host ORDER BY ln DESC) AS rk
+        FROM cd WHERE in_ua) WHERE rk = 1
+    ),
+    def_delay AS (
+      SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY host ORDER BY ln DESC) AS rk
+        FROM cd WHERE only_def) WHERE rk = 1
+    )
+    SELECT h.host, p.path,
+      COALESCE(w.allow, TRUE) AS allowed,
+      CASE WHEN COALESCE(hs.ua_found, FALSE) THEN COALESCE(ud.ms, -1)
+           WHEN COALESCE(hs.def_found, FALSE) THEN COALESCE(dd.ms, -1)
+           ELSE -1 END AS crawl_delay_ms
+    FROM hosts h CROSS JOIN paths p
+    LEFT JOIN (SELECT * FROM winner WHERE rk = 1) w
+      ON w.host = h.host AND w.path = p.path
+    LEFT JOIN hostsel hs ON hs.host = h.host
+    LEFT JOIN ua_delay ud ON ud.host = h.host
+    LEFT JOIN def_delay dd ON dd.host = h.host
+    ORDER BY h.host, p.path
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from open_source_search_engine_ray.functions.adultcheck import DIRTY_NEEDLES
     from open_source_search_engine_ray.functions.textstats import STOPWORDS
@@ -953,139 +1088,6 @@ def oracle_sql() -> dict[str, str]:
         for i, p in _rweb.iter_pages()
     )
 
-    # Full SQL restatement of the Gigablast robots.txt semantics
-    # (Robots.cpp:150-377, RobotRule.cpp:7-110; the 92-case unit suite
-    # is RobotsTest.cpp): comment strip + field:value line grammar,
-    # UA-group state machine (a User-agent line after group records
-    # starts a new group — gaps-and-islands over prev_rec/prev_ua),
-    # UA-specific group used exclusively over the ``*`` default,
-    # empty-value rules ignored, trailing-``$`` anchor, trailing-``*``
-    # strip on unanchored rules, ``*`` wildcards → RE2, longest-rule
-    # (path len + anchor) first with stable (line-order) ties, default
-    # allow, Crawl-delay float-seconds → truncated int ms (-1 absent).
-    _ROBOTS_SQL = r"""
-        WITH hosts(host, robots) AS (VALUES @HOSTS@),
-        paths(path) AS (VALUES @PATHS@),
-        lines AS (
-          SELECT host, i AS ln, split[i] AS raw
-          FROM (SELECT host, string_split(robots, chr(10)) AS split
-                FROM hosts)
-          CROSS JOIN (SELECT unnest(range(1, 64)) AS i) nums
-          WHERE i <= len(split)
-        ),
-        parsed AS (
-          SELECT host, ln,
-            lower(regexp_extract(split_part(raw, '#', 1),
-              '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 1)) AS fld,
-            regexp_extract(split_part(raw, '#', 1),
-              '^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$', 2) AS val
-          FROM lines
-        ),
-        ok AS (SELECT * FROM parsed WHERE fld <> ''),
-        marks AS (
-          SELECT *,
-            (fld = 'user-agent') AS is_ua,
-            MAX(CASE WHEN fld IN ('allow','disallow','crawl-delay')
-                     THEN ln END) OVER (
-              PARTITION BY host ORDER BY ln
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-            ) AS prev_rec,
-            MAX(CASE WHEN fld = 'user-agent' THEN ln END) OVER (
-              PARTITION BY host ORDER BY ln
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-            ) AS prev_ua
-          FROM ok
-        ),
-        blocks AS (
-          SELECT *, SUM(CASE WHEN is_ua AND (prev_ua IS NULL
-                               OR COALESCE(prev_rec, 0) > prev_ua)
-                             THEN 1 ELSE 0 END) OVER (
-                      PARTITION BY host ORDER BY ln) AS blk
-          FROM marks
-        ),
-        scope AS (
-          SELECT host, blk,
-            BOOL_OR(is_ua AND val = '*') AS in_def,
-            BOOL_OR(is_ua AND val <> '*' AND val <> ''
-                    AND starts_with('gigablastbot', lower(val))) AS in_ua
-          FROM blocks WHERE blk > 0 GROUP BY host, blk
-        ),
-        hostsel AS (
-          SELECT host, BOOL_OR(in_ua) AS ua_found,
-                 BOOL_OR(in_def) AS def_found
-          FROM scope GROUP BY host
-        ),
-        selrules AS (
-          SELECT b.host, b.ln, (b.fld = 'allow') AS allow, b.val AS rawpath
-          FROM blocks b
-          JOIN scope s USING (host, blk)
-          JOIN hostsel h USING (host)
-          WHERE b.fld IN ('allow','disallow') AND b.val <> ''
-            AND ((h.ua_found AND s.in_ua)
-                 OR (NOT h.ua_found AND h.def_found
-                     AND s.in_def AND NOT s.in_ua))
-        ),
-        norm AS (
-          SELECT host, ln, allow,
-            (rawpath LIKE '%$') AS anchored,
-            CASE WHEN rawpath LIKE '%$' THEN left(rawpath, len(rawpath) - 1)
-                 ELSE rtrim(rawpath, '*') END AS p
-          FROM selrules
-        ),
-        typed AS (
-          SELECT *, (p LIKE '%*%') AS wild,
-            len(p) + CASE WHEN anchored THEN 1 ELSE 0 END AS slen,
-            '^' || replace(
-              regexp_replace(regexp_replace(p, '\*+', '*', 'g'),
-                             '([.^$+?(){}|\[\]\\])', '\\\1', 'g'),
-              '*', '.*')
-            || CASE WHEN anchored THEN '$' ELSE '' END AS rx
-          FROM norm
-        ),
-        matched AS (
-          SELECT t.host, pp.path, t.allow, t.slen, t.ln
-          FROM typed t CROSS JOIN paths pp
-          WHERE CASE WHEN t.wild THEN regexp_matches(pp.path, t.rx)
-                     WHEN t.anchored THEN pp.path = t.p
-                     ELSE starts_with(pp.path, t.p) END
-        ),
-        winner AS (
-          SELECT host, path, allow, ROW_NUMBER() OVER (
-            PARTITION BY host, path ORDER BY slen DESC, ln) AS rk
-          FROM matched
-        ),
-        cd AS (
-          SELECT b.host, b.ln, TRY_CAST(b.val AS DOUBLE) AS d,
-                 s.in_ua, (s.in_def AND NOT s.in_ua) AS only_def
-          FROM blocks b JOIN scope s USING (host, blk)
-          WHERE b.fld = 'crawl-delay'
-            AND TRY_CAST(b.val AS DOUBLE) IS NOT NULL
-        ),
-        ua_delay AS (
-          SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
-            SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY host ORDER BY ln DESC) AS rk
-            FROM cd WHERE in_ua) WHERE rk = 1
-        ),
-        def_delay AS (
-          SELECT host, CAST(TRUNC(d * 1000) AS BIGINT) AS ms FROM (
-            SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY host ORDER BY ln DESC) AS rk
-            FROM cd WHERE only_def) WHERE rk = 1
-        )
-        SELECT h.host, p.path,
-          COALESCE(w.allow, TRUE) AS allowed,
-          CASE WHEN COALESCE(hs.ua_found, FALSE) THEN COALESCE(ud.ms, -1)
-               WHEN COALESCE(hs.def_found, FALSE) THEN COALESCE(dd.ms, -1)
-               ELSE -1 END AS crawl_delay_ms
-        FROM hosts h CROSS JOIN paths p
-        LEFT JOIN (SELECT * FROM winner WHERE rk = 1) w
-          ON w.host = h.host AND w.path = p.path
-        LEFT JOIN hostsel hs ON hs.host = h.host
-        LEFT JOIN ua_delay ud ON ud.host = h.host
-        LEFT JOIN def_delay dd ON dd.host = h.host
-        ORDER BY h.host, p.path
-    """
 
     return {
         "crawl_uh48": f"""
@@ -1246,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keep_req
             ORDER BY uh48, rec, hop_count, added_time
         """,
-        "crawl_robots": _ROBOTS_SQL.replace("@HOSTS@", _ROBOTS_HOSTS)
+        "crawl_robots": ROBOTS_SQL_TEMPLATE.replace("@HOSTS@", _ROBOTS_HOSTS)
         .replace("@PATHS@", _ROBOTS_PATHS),
         # populateWaitingTreeFromSpiderdb restated end-to-end: merge
         # dedup (min hop/added/pos per uh48 — constant srh by
