@@ -164,6 +164,10 @@ def _run_suite() -> dict:
     # query; two measured laps + min de-noises the box's documented
     # ±20-30% wall-clock drift.  Steady-state per-query cost is what the
     # 100-TB regime sees (pipelines there run for minutes, not ms).
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        # crawl-only timing runs (record attempts / GRAFT_TIMING
+        # profiling) skip the query suite entirely
+        bench_queries = {}
     for fn in bench_queries.values():
         fn(sf_dir)
     lap_count = int(os.environ.get("GRAFT_QUERY_LAPS", "2"))

@@ -122,7 +122,10 @@ def canonicalize(
     if not u:
         return None
     if base:
-        u = urljoin(base, u)
+        try:
+            u = urljoin(base, u)
+        except ValueError:
+            return None  # e.g. "http://[" — invalid IPv6 netloc raises
     if "://" not in u:
         if u.startswith("//"):
             u = "http:" + u
@@ -141,9 +144,15 @@ def canonicalize(
     host = parts.hostname
     if not host:
         return None
-    if parts.netloc.startswith("["):
-        return None  # IPv6 literals are not crawlable hosts here
+    if "[" in parts.netloc or "]" in parts.netloc:
+        # IPv6 literals are not crawlable hosts here; brackets anywhere
+        # else in the netloc (e.g. "www.[::1]") are malformed — urllib
+        # would otherwise yield a bare unbracketed v6 "host" that fails
+        # re-canonicalization (hypothesis-found)
+        return None
     host = host.lower().rstrip(".")
+    if not host:
+        return None  # e.g. "//.." resolves to a dots-only host
     try:
         host.encode("ascii")
     except UnicodeEncodeError:
