@@ -26,7 +26,12 @@ def parse_warc_bytes(data: bytes):
     """Yield dicts (url, http_status, content_type, body) for WARC
     ``response`` records."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError):
+            # magic bytes but a corrupt/truncated stream: fall through
+            # with the raw bytes — the line scanner skips garbage
+            pass
     stream = io.BytesIO(data)
     while True:
         # record header block
@@ -46,11 +51,14 @@ def parse_warc_bytes(data: bytes):
             if b":" in h:
                 k, v = h.split(b":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get(b"content-length", b"0"))
-        payload = stream.read(length)
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            continue  # corrupted length header: resync on next marker
+        payload = stream.read(max(length, 0))
         # trailing CRLFCRLF between records
-        wtype = headers.get(b"warc-type", b"").decode()
-        url = headers.get(b"warc-target-uri", b"").decode()
+        wtype = headers.get(b"warc-type", b"").decode("latin-1")
+        url = headers.get(b"warc-target-uri", b"").decode("latin-1")
         if wtype != "response" or not url:
             continue
         status, ctype, body = _parse_http_payload(payload)
@@ -90,7 +98,10 @@ def parse_arc_bytes(data: bytes):
     leading ``filedesc://`` record is the archive's own metadata and is
     skipped."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # handles per-record gzip members
+        try:
+            data = gzip.decompress(data)  # per-record gzip members
+        except (OSError, EOFError):
+            pass  # corrupt stream: scan raw, skip garbage lines
     stream = io.BytesIO(data)
     while True:
         line = stream.readline()
