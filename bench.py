@@ -103,8 +103,10 @@ def _run_suite() -> dict:
     )
     # host wall-clock variance between identical runs is ±20-30% with
     # occasional 2x outliers (VM neighbors); a throughput RECORD takes
-    # best-of-N in one session (results are byte-identical every rep)
-    reps = int(os.environ.get("GRAFT_CRAWL_REPS", "1"))
+    # best-of-N in one session (results are byte-identical every rep).
+    # Default 2 reps so a single harness invocation is outlier-protected
+    # the same way the query laps are (min-of-laps).
+    reps = int(os.environ.get("GRAFT_CRAWL_REPS", "2"))
     rep_secs = []
     for _ in range(max(1, reps)):
         out = tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm")
