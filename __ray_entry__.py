@@ -613,6 +613,57 @@ def _q_multicoll(sf_dir: str):
     return out.sort_values(["coll", "wave", "part_id", "seq"]).reset_index(drop=True)
 
 
+def _bmp_fixture():
+    """Deterministic 24bpp BMP payloads for the decoder oracle: sizes
+    and pixel values derived from the index so the oracle generator can
+    inline the exact bytes as hex."""
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.media import encode_bmp
+
+    out = []
+    for k in range(16):
+        w, h = 3 + k % 5, 2 + k % 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        rgb = ((k * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+        out.append((f"bmp{k:02d}", encode_bmp(rgb)))
+    return out
+
+
+def _q_media_bmp_decode(sf_dir: str):
+    """Real BMP decode over an actor-pool stage, oracle-checked: the
+    engine runs the production decoder (pipelines/media.decode_bmp —
+    the same kernel MediaFeatureStage uses) in map_batches and emits
+    header dims + exact per-channel pixel sums; the oracle re-reads the
+    SAME payload bytes (inlined as hex) entirely in SQL — little-endian
+    header fields, bottom-up padded-row walk, BGR→RGB channel map."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.media import decode_bmp
+
+    fix = _bmp_fixture()
+    ds = rd.from_items(
+        [{"media_id": mid, "payload": data} for mid, data in fix]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            img = decode_bmp(bytes(payload))
+            h, w, _ = img.shape
+            s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows.append((mid, w, h, int(s[0]), int(s[1]), int(s[2])))
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+        )
+
+    out = ds.map_batches(decode, batch_format="pandas").to_pandas()
+    for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -768,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_roundtrip": _q_charset_roundtrip,
         "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
+        "media_bmp_decode": _q_media_bmp_decode,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
         # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
@@ -1061,6 +1113,14 @@ def oracle_sql() -> dict[str, str]:
         f"({i},{int(_dwprog.priority[i])})" for i in (10, 12, 14, 16)
     )
 
+    # media_bmp_decode: the BMP payload bytes inlined as hex; the SQL
+    # side re-reads the file format from scratch (little-endian header
+    # fields, bottom-up padded rows, BGR channel order)
+    _BMP_VALUES = ",".join(
+        f"('{mid}','{data.hex()}')" for mid, data in _bmp_fixture()
+    )
+    _HEXD = ",".join(f"('{d}',{v})" for v, d in enumerate("0123456789abcdef"))
+
     # crawl_robots: host → robots.txt body inlined as VALUES (shared
     # SynthWeb fixture input); the Robots.cpp/RobotRule.cpp parser +
     # matcher is then fully restated in SQL — see the query text
@@ -1201,6 +1261,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT uh48, 'request' AS rec, srh, hop AS hop_count, added AS t
             FROM win WHERE rk = 1
             ORDER BY uh48, rec, srh, t
+        """,
+        # the BMP file format re-read from scratch in SQL over the
+        # inlined payload hex: LE header ints, (w*3+3)&~3 row padding,
+        # bottom-up BGR — channel 2 of the file is red
+        "media_bmp_decode": f"""
+            WITH media(media_id, hex) AS (VALUES {_BMP_VALUES}),
+            hexd(d, v) AS (VALUES {_HEXD}),
+            bytes AS (
+              SELECT m.media_id, idx.i, h1.v * 16 + h2.v AS b
+              FROM media m
+              CROSS JOIN (SELECT unnest(range(0, 256)) AS i) idx
+              JOIN hexd h1 ON h1.d = substr(m.hex, 2 * idx.i + 1, 1)
+              JOIN hexd h2 ON h2.d = substr(m.hex, 2 * idx.i + 2, 1)
+              WHERE 2 * idx.i + 2 <= len(m.hex)
+            ),
+            hdr AS (
+              SELECT media_id,
+                MAX(CASE WHEN i = 10 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 11 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 12 THEN b END)
+                  + 16777216 * MAX(CASE WHEN i = 13 THEN b END) AS off,
+                MAX(CASE WHEN i = 18 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 19 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 20 THEN b END)
+                  + 16777216 * MAX(CASE WHEN i = 21 THEN b END) AS w,
+                MAX(CASE WHEN i = 22 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 23 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 24 THEN b END)
+                  + 16777216 * MAX(CASE WHEN i = 25 THEN b END) AS h
+              FROM bytes GROUP BY media_id
+            ),
+            dims AS (
+              SELECT *, ((w * 3 + 3) // 4) * 4 AS rowb FROM hdr
+            ),
+            px AS (
+              SELECT b.media_id,
+                     ((b.i - d.off) % d.rowb) % 3 AS ch, b.b
+              FROM bytes b JOIN dims d USING (media_id)
+              WHERE b.i >= d.off
+                AND (b.i - d.off) % d.rowb < d.w * 3
+                AND (b.i - d.off) // d.rowb < d.h
+            )
+            SELECT d.media_id,
+                   CAST(d.w AS BIGINT) AS width,
+                   CAST(d.h AS BIGINT) AS height,
+                   CAST(SUM(CASE WHEN p.ch = 2 THEN p.b ELSE 0 END)
+                        AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN p.ch = 1 THEN p.b ELSE 0 END)
+                        AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN p.ch = 0 THEN p.b ELSE 0 END)
+                        AS BIGINT) AS sum_b
+            FROM dims d JOIN px p USING (media_id)
+            GROUP BY d.media_id, d.w, d.h
+            ORDER BY d.media_id
         """,
         # merge-time dedup over the durable fixture log (shared input
         # inlined as VALUES with its scan position); dedupSpiderdbList
