@@ -664,6 +664,56 @@ def _q_media_bmp_decode(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _wav_fixture():
+    """Deterministic RIFF/WAVE PCM16 payloads for the decoder oracle."""
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.media import encode_wav
+
+    out = []
+    for k in range(16):
+        n = 5 + k % 7
+        s = (((k * 9901 + np.arange(n) * 7919) % 65536) - 32768).astype(
+            np.int16
+        )
+        out.append((f"wav{k:02d}", encode_wav(s, rate=8000 + 1000 * (k % 3))))
+    return out
+
+
+def _q_media_wav_decode(sf_dir: str):
+    """Real WAV decode oracle-checked like media_bmp_decode: the
+    production decoder (pipelines/media.decode_wav) runs in map_batches
+    and emits sample rate, count, and exact int sums/extrema; the
+    oracle re-reads the canonical RIFF layout (fmt rate at byte 24,
+    data length at 40, LE-signed int16 samples from 44) from the
+    inlined hex bytes in SQL."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.media import decode_wav
+
+    ds = rd.from_items(
+        [{"media_id": mid, "payload": data} for mid, data in _wav_fixture()]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            s, rate = decode_wav(bytes(payload))
+            rows.append(
+                (mid, rate, len(s), int(s.sum(dtype=np.int64)),
+                 int(s.min()), int(s.max()))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "rate", "n_samples", "sum_s", "min_s", "max_s"],
+        )
+
+    out = ds.map_batches(decode, batch_format="pandas").to_pandas()
+    for c in ("rate", "n_samples", "sum_s", "min_s", "max_s"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -820,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
         "media_bmp_decode": _q_media_bmp_decode,
+        "media_wav_decode": _q_media_wav_decode,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
         # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
@@ -1120,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         f"('{mid}','{data.hex()}')" for mid, data in _bmp_fixture()
     )
     _HEXD = ",".join(f"('{d}',{v})" for v, d in enumerate("0123456789abcdef"))
+    _WAV_VALUES = ",".join(
+        f"('{mid}','{data.hex()}')" for mid, data in _wav_fixture()
+    )
 
     # crawl_robots: host → robots.txt body inlined as VALUES (shared
     # SynthWeb fixture input); the Robots.cpp/RobotRule.cpp parser +
@@ -1315,6 +1369,53 @@ def oracle_sql() -> dict[str, str]:
             FROM dims d JOIN px p USING (media_id)
             GROUP BY d.media_id, d.w, d.h
             ORDER BY d.media_id
+        """,
+        # the canonical RIFF/WAVE layout re-read in SQL: fmt sample
+        # rate at bytes 24-27, data length at 40-43, LE-signed int16
+        # samples from byte 44
+        "media_wav_decode": f"""
+            WITH media(media_id, hex) AS (VALUES {_WAV_VALUES}),
+            hexd(d, v) AS (VALUES {_HEXD}),
+            bytes AS (
+              SELECT m.media_id, idx.i, h1.v * 16 + h2.v AS b
+              FROM media m
+              CROSS JOIN (SELECT unnest(range(0, 128)) AS i) idx
+              JOIN hexd h1 ON h1.d = substr(m.hex, 2 * idx.i + 1, 1)
+              JOIN hexd h2 ON h2.d = substr(m.hex, 2 * idx.i + 2, 1)
+              WHERE 2 * idx.i + 2 <= len(m.hex)
+            ),
+            hdr AS (
+              SELECT media_id,
+                MAX(CASE WHEN i = 24 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 25 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 26 THEN b END)
+                  + 16777216 * MAX(CASE WHEN i = 27 THEN b END) AS rate,
+                MAX(CASE WHEN i = 40 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 41 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 42 THEN b END)
+                  + 16777216 * MAX(CASE WHEN i = 43 THEN b END) AS dlen
+              FROM bytes GROUP BY media_id
+            ),
+            smp AS (
+              SELECT lo.media_id,
+                CASE WHEN lo.b + 256 * hi.b >= 32768
+                     THEN lo.b + 256 * hi.b - 65536
+                     ELSE lo.b + 256 * hi.b END AS s
+              FROM bytes lo
+              JOIN bytes hi ON hi.media_id = lo.media_id
+                           AND hi.i = lo.i + 1
+              JOIN hdr h ON h.media_id = lo.media_id
+              WHERE lo.i >= 44 AND (lo.i - 44) % 2 = 0
+                AND lo.i < 44 + h.dlen
+            )
+            SELECT h.media_id, CAST(h.rate AS BIGINT) AS rate,
+                   CAST(COUNT(s.s) AS BIGINT) AS n_samples,
+                   CAST(SUM(s.s) AS BIGINT) AS sum_s,
+                   CAST(MIN(s.s) AS BIGINT) AS min_s,
+                   CAST(MAX(s.s) AS BIGINT) AS max_s
+            FROM hdr h JOIN smp s USING (media_id)
+            GROUP BY h.media_id, h.rate
+            ORDER BY h.media_id
         """,
         # merge-time dedup over the durable fixture log (shared input
         # inlined as VALUES with its scan position); dedupSpiderdbList
