@@ -376,7 +376,36 @@ def _compile_predicate(token: str):
         r = np.fromiter((sub in u for u in col), dtype=bool, count=len(col))
         return ~r if neg else r
 
+    subpred.is_substring_fallback = True
     return subpred
+
+
+def lint_rules(rules) -> list:
+    """Flag rule tokens that silently compile to URL-substring patterns
+    but look like mistyped predicates.
+
+    The substring fallback is reference behavior (unknown tokens are URL
+    patterns, Spider.cpp:3642-3696), so it is not an error — but a typo
+    like ``hopcountt>=1`` matching URLs *containing that text* is almost
+    never what the rule author meant.  Returns human-readable warnings;
+    empty list = clean."""
+    warnings = []
+    ops = ("==", "!=", ">=", "<=", ">", "<")
+    for r in rules:
+        for tok in r.expression.split("&&"):
+            t = tok.strip().lstrip("!").strip()
+            if not t:
+                continue
+            p = _compile_predicate(tok)
+            if getattr(p, "is_substring_fallback", False) and (
+                any(op in t for op in ops) or t.startswith("tag:")
+            ):
+                warnings.append(
+                    f"rule {r.expression!r}: token {t!r} compiles to a "
+                    "URL-substring pattern (Spider.cpp:3642) — looks like "
+                    "a mistyped predicate"
+                )
+    return warnings
 
 
 class FilterProgram:

@@ -295,3 +295,30 @@ def test_profiles_compile_and_differ():
     i = int(shal.assign(cand(site_tag="shallow", hop_count=2))[0])
     assert shal.rules[i].expression == "tag:shallow && hopcount>=2"
     assert shal.max_spiders_per_rule[i] == 0
+
+
+def test_lint_rules_flags_mistyped_predicates():
+    """The substring fallback for unknown tokens is reference behavior
+    (Spider.cpp:3642-3696), but lint_rules flags tokens that LOOK like
+    mistyped predicates (comparison operators / bare tag:) so a typo'd
+    rule doesn't silently become a URL pattern."""
+    from open_source_search_engine_ray.functions.urlfilter import (
+        PROFILES,
+        UrlFilterRule as R,
+        default_web_rules,
+        lint_rules,
+    )
+
+    assert lint_rules(default_web_rules()) == []
+    for prof in PROFILES.values():
+        assert lint_rules(prof()) == []
+    w = lint_rules(
+        [
+            R("hopcountt>=1", 50, 1.0),   # typo'd numeric predicate
+            R("tag:", 50, 1.0),            # malformed tag
+            R("PHPSESSID", 50, 1.0),       # legit substring pattern
+            R("^http://x.test/", 50, 1.0),  # legit prefix pattern
+        ]
+    )
+    assert len(w) == 2
+    assert "hopcountt>=1" in w[0] and "tag:" in w[1]
