@@ -64,6 +64,10 @@ MAX_URL_LEN = 1024  # reference Url.h:9
 # canonicalize(u) == u and the urllib machinery can be skipped.  This is
 # a pure optimization — the slow path gives identical results.
 _CANONICAL_RX = re.compile(r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)+/[A-Za-z0-9._~/\-]*$")
+# Post-IDNA ASCII host must stay within the hostname charset
+# (Url.cpp:964-1005 charset walk); nameprep can otherwise smuggle
+# whitespace into a punycoded label.
+_HOST_CHARSET_RX = re.compile(r"[a-z0-9.\-]+")
 # URLs whose PATH could carry a strippable session-id pair must take the
 # slow path so /CFID/123 and /cfid/123 canonicalize identically
 _PATH_SESSION_RISK = re.compile(
@@ -159,6 +163,14 @@ def canonicalize(
         try:
             host = host.encode("idna").decode("ascii")
         except UnicodeError:
+            return None
+        # Nameprep can map chars to SPACE or other junk INSIDE the
+        # punycoded label (e.g. U+00A8 -> " ̈" -> "xn-- -ccb"), breaking
+        # idempotence: a later whitespace-truncation pass would mangle
+        # the re-canonicalized form into a different identity
+        # (hypothesis-found).  Url.cpp's host charset walk
+        # (Url.cpp:964-1005) rejects such hosts; mirror it here.
+        if not _HOST_CHARSET_RX.fullmatch(host):
             return None
     default_port = 80 if scheme == "http" else 443
     netloc = host if (port is None or port == default_port) else f"{host}:{port}"

@@ -68,26 +68,9 @@ def np_lookup(keys: np.ndarray, sorted_keys: np.ndarray, values: np.ndarray, def
 GROUP_AGG_DRIVER_COMBINE_MAX_ROWS = 1_000_000
 
 
-def group_agg(
-    ds, keys: list, aggs: dict, count_col: str | None = None
-) -> pd.DataFrame:
-    """Distributed group-by aggregate that stays fast at HIGH key
-    cardinality.  ``aggs``: {out_col: (in_col, how)} with how in
-    {sum, min, max}; optional count column.
-
-    Ray Data's built-in ``groupby().aggregate()`` falls into a sort +
-    per-group Python reduce on plain map_batches pipelines (measured
-    ~2-4 ms per GROUP — 9k groups cost ~20-35 s regardless of row
-    count), only switching to vectorized hash aggregation when the plan
-    already contains a hash shuffle (e.g. after ``Dataset.join``).
-    This helper never depends on the planner: vectorized per-block
-    partial aggregation (one partial row per (block, group)), then —
-    size-adaptively — either a driver-side pandas combine when the
-    measured partial output is small, or a sort shuffle of the partials
-    + vectorized per-block combine + an O(result) driver merge for
-    groups that straddle sorted-block edges.  The driver holds only
-    result-sized data — which the caller returns as a DataFrame anyway.
-    """
+def _agg_fns(keys: list, aggs: dict, count_col: str | None):
+    """Build the (partial, combine) pandas kernels shared by
+    :func:`group_agg` and :func:`group_agg_ds`."""
     spec = {out: (src, how) for out, (src, how) in aggs.items()}
     for out, (_src, how) in spec.items():
         if how not in ("sum", "min", "max"):
@@ -116,6 +99,32 @@ def group_agg(
             **{o: (c, h) for o, (c, h) in comb_spec.items()}
         )
 
+    return partial, combine
+
+
+def group_agg(
+    ds, keys: list, aggs: dict, count_col: str | None = None
+) -> pd.DataFrame:
+    """Distributed group-by aggregate that stays fast at HIGH key
+    cardinality.  ``aggs``: {out_col: (in_col, how)} with how in
+    {sum, min, max}; optional count column.
+
+    Ray Data's built-in ``groupby().aggregate()`` falls into a sort +
+    per-group Python reduce on plain map_batches pipelines (measured
+    ~2-4 ms per GROUP — 9k groups cost ~20-35 s regardless of row
+    count), only switching to vectorized hash aggregation when the plan
+    already contains a hash shuffle (e.g. after ``Dataset.join``).
+    This helper never depends on the planner: vectorized per-block
+    partial aggregation (one partial row per (block, group)), then —
+    size-adaptively — either a driver-side pandas combine when the
+    measured partial output is small, or a sort shuffle of the partials
+    + vectorized per-block combine + an O(result) driver merge for
+    groups that straddle sorted-block edges.  The driver holds only
+    result-sized data — which the caller returns as a DataFrame anyway.
+    RESULT-sized is corpus-sized for dedup shapes: those callers should
+    use :func:`group_agg_ds` and keep the output distributed.
+    """
+    partial, combine = _agg_fns(keys, aggs, count_col)
     part = ds.map_batches(
         partial, batch_format="pandas", batch_size=64 * 1024
     ).materialize()
@@ -125,6 +134,39 @@ def group_agg(
         combine, batch_format="pandas", batch_size=64 * 1024
     )
     return combine(comb.to_pandas())
+
+
+def group_agg_ds(
+    ds, keys: list, aggs: dict, count_col: str | None = None,
+    num_buckets: int = 64,
+):
+    """:func:`group_agg` that returns a **Dataset** (one row per group)
+    and never lands the combined frame on the driver — the write-back
+    path for result≈corpus shapes (exact dedup, per-document rollups).
+
+    Shuffle shape: vectorized per-block partials, then a bounded
+    ``num_buckets``-way hash shuffle on the group key (the same shape
+    as minhash_lsh_dedup's bucket shuffle — invariant-7-safe because
+    ``groupby(_gb)`` sees ``num_buckets`` groups, not one per key) and
+    one vectorized pandas combine per bucket.  Same-key rows always
+    hash to the same bucket, so the combine is exact with no
+    straddle-merge pass.  At cluster scale set ``num_buckets`` ≈ 2-4×
+    total cores."""
+    partial, combine = _agg_fns(keys, aggs, count_col)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = partial(df)
+        # hash_pandas_object is vectorized and process-stable (fixed
+        # siphash key), combining multi-key rows column-wise
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["_gb"] = (h % num_buckets).astype("int64")
+        return df
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["_gb"]))
+
+    part = ds.map_batches(add_bucket, batch_format="pandas", batch_size=64 * 1024)
+    return part.groupby("_gb").map_groups(combine_bucket, batch_format="pandas")
 
 
 def group_sum(
@@ -284,7 +326,12 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     cutoff = pd.Timestamp("1997-01-01")
     ckeys = np.sort(
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t["c_mktsegment"], "BUILDING")
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
         .to_pandas()["c_custkey"]
         .to_numpy()
     )

@@ -120,8 +120,11 @@ class DnsCache:
         except asyncio.TimeoutError:
             # EDNSTIMEDOUT -> timed-out tier TTL
             return None, urlfilter.ERR_DNS, self._timeout_ttl
-        except OSError:
-            # NXDOMAIN / EDNSDEAD -> negative cache TTL
+        except (OSError, UnicodeError, ValueError):
+            # NXDOMAIN / EDNSDEAD -> negative cache TTL.  getaddrinfo
+            # raises UnicodeError (a ValueError subclass) for hosts with
+            # empty or >63-char labels — hostile outlinks reach here, so
+            # treat them as NXDOMAIN rather than crashing the fetch batch.
             return None, urlfilter.ERR_DNS, self._neg_ttl
 
     def _store(self, host: str, addr, err: int, ttl: float) -> None:

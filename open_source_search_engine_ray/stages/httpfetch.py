@@ -562,10 +562,13 @@ class HttpFetchStage:
                     start_ms = time.monotonic() * 1000.0
                     fr = await self._download(url, ims=ims)
                     self._hammer_done(ip, start_ms)
-        if fr.http_status == 304:
+        if fr.http_status == 304 and ims > 0:
             # Not Modified to our conditional GET → EDOCUNCHANGED; the
             # reply builder rewrites it to a success with the old
-            # content hash carried forward (XmlDoc.cpp:14780-14791)
+            # content hash carried forward (XmlDoc.cpp:14780-14791).
+            # Gated on ims > 0: a 304 to an UNconditional GET (no
+            # If-Modified-Since sent, no prior reply to recycle) is a
+            # server error and must stay an error-status reply.
             fr.err_code = urlfilter.ERR_DOC_UNCHANGED
             fr.body = b""
         return fr, cd, True, (time.monotonic() - t0) * 1000.0

@@ -107,3 +107,45 @@ def test_ims_header_format():
     head = captured["head"].decode("latin-1")
     assert "If-Modified-Since: Sun Nov  6 08:49:37 1994 UTC\r\n" in head
     assert fr.http_status == 304
+
+
+def test_unconditional_304_is_not_unchanged():
+    """ADVICE r4 regression: a 304 to an UNconditional GET (ims=0 — no
+    If-Modified-Since sent, no prior reply to recycle) must stay an
+    error-status reply, not EDOCUNCHANGED — the recycle rewrite would
+    otherwise fabricate a success with prev_content_hash32=0 and lang
+    'xx' for a document that was never fetched."""
+    import asyncio
+
+    from open_source_search_engine_ray.functions import urlfilter
+    from open_source_search_engine_ray.stages.httpfetch import HttpFetchStage
+
+    async def _serve():
+        async def handle(reader, writer):
+            await reader.readuntil(b"\r\n\r\n")
+            writer.write(
+                b"HTTP/1.1 304 Not Modified\r\nContent-Length: 0\r\n\r\n"
+            )
+            await writer.drain()
+            writer.close()
+
+        srv = await asyncio.start_server(handle, "127.0.0.1", 0)
+        return srv, srv.sockets[0].getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+    srv, port = loop.run_until_complete(_serve())
+    st = HttpFetchStage(resolve={"x.test": ("127.0.0.1", port)})
+
+    async def go():
+        # _fetch_one applies the 304→EDOCUNCHANGED mapping (gated on
+        # ims>0); robots.txt is served a 304 too, which _robots treats
+        # as an empty-ruleset fetch failure (allow-all) — fine here.
+        st._sem = asyncio.Semaphore(4)  # normally created by run()
+        return await st._fetch_one("http://x.test/", "x.test", 7, ims=0)
+
+    fr, _cd, _ok, _ms = loop.run_until_complete(go())
+    srv.close()
+    loop.run_until_complete(srv.wait_closed())
+    loop.close()
+    assert fr.http_status == 304
+    assert fr.err_code != urlfilter.ERR_DOC_UNCHANGED

@@ -242,6 +242,24 @@ def test_dns_cache_hit_and_negative_cache():
     assert c.lookups == 2 and c.hits == 2
 
 
+def test_dns_cache_hostile_label_is_err_dns():
+    """ADVICE r4 regression: getaddrinfo raises UnicodeError (a
+    ValueError) for hosts with empty or >63-char labels; canonicalize
+    admits such hosts, so one hostile outlink must NOT crash the fetch
+    batch — it resolves to ERR_DNS like NXDOMAIN."""
+
+    async def go():
+        c = DnsCache()  # default getaddrinfo lookup
+        assert await c.resolve("a" * 64 + ".test") == (None, ERR_DNS)
+        assert await c.resolve("a..test") == (None, ERR_DNS)
+        # and the negative answer is cached
+        assert await c.resolve("a" * 64 + ".test") == (None, ERR_DNS)
+        return c
+
+    c = _run(go())
+    assert c.lookups == 2 and c.hits == 1
+
+
 def test_dns_cache_inflight_dedup_and_timeout():
     calls = []
 

@@ -51,3 +51,27 @@ def test_idempotent(u):
 def test_arbitrary_text_never_raises(u):
     out = canonicalize(u, None)
     assert out is None or isinstance(out, str)
+
+
+def test_nameprep_space_hosts_rejected():
+    """Pinned r4-verdict regression: nameprep maps some codepoints to
+    SPACE inside a punycoded label (U+00A8 -> 'xn-- -ccb'), which the
+    whitespace-truncation pass then mangles on re-canonicalization —
+    a URL-seen/uh48 split-identity hazard.  Post-IDNA hosts outside
+    [a-z0-9.-] are rejected (Url.cpp:964-1005 charset walk)."""
+    # non-whitespace chars whose nameprep/NFKC expansion CONTAINS a
+    # space (¨ ¯ ´ ¸): only the post-IDNA charset walk catches these
+    for cp in ("¨", "¯", "´", "¸"):
+        assert canonicalize(f"http://{cp}") is None
+        assert canonicalize(f"http://a{cp}b.example.com/") is None
+    # actual whitespace codepoints are handled upstream by the
+    # truncation pass (Url.cpp:992-994) — host cut at the whitespace
+    for cp in (" ", " ", " ", "　"):
+        assert canonicalize(f"http://{cp}") is None
+        assert canonicalize(f"http://a{cp}b.example.com/") == "http://a/"
+    # U+200B is nameprep-DELETED (not whitespace): host fuses cleanly
+    assert canonicalize("http://a​b.example.com/") == "http://ab.example.com/"
+    # valid IDNA hosts still canonicalize (and idempotently)
+    out = canonicalize("http://münchen.de/x")
+    assert out == "http://xn--mnchen-3ya.de/x"
+    assert canonicalize(out) == out
