@@ -664,6 +664,68 @@ def _q_media_bmp_decode(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _png_fixture():
+    """Deterministic PNG payloads for the decoder oracle: 8-bit RGB,
+    per-row filters cycling {0 None, 1 Sub} (the two the SQL restates —
+    Sub is a per-channel prefix sum mod 256), zlib stream as ONE STORED
+    deflate block so the raw scanline bytes sit at a fixed offset (48 =
+    8 sig + 25 IHDR + 8 IDAT len/type + 2 zlib hdr + 5 stored-block
+    hdr).  Up/Average/Paeth + compressed streams are covered by the
+    pytest roundtrip suite (tests/test_media.py)."""
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.media import encode_png
+
+    out = []
+    for k in range(16):
+        w, h = 3 + k % 5, 2 + k % 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        rgb = ((k * 37 + y * 19 + x * 11 + c * 5) % 256).astype(np.uint8)
+        out.append(
+            (
+                f"png{k:02d}",
+                encode_png(rgb, filters=[r % 2 for r in range(h)], stored=True),
+            )
+        )
+    return out
+
+
+def _q_media_png_decode(sf_dir: str):
+    """Real PNG decode over map_batches, oracle-checked like
+    media_bmp_decode: the engine runs the production decoder
+    (pipelines/media.decode_png — zlib inflate + scanline defilter, the
+    same kernel MediaDecodeStage dispatches on the PNG signature) and
+    emits header dims + exact per-channel pixel sums; the oracle
+    re-reads the SAME payload bytes entirely in SQL — big-endian IHDR
+    fields, stored-deflate block layout, None/Sub defilter as a
+    windowed prefix sum mod 256."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.media import decode_png
+
+    fix = _png_fixture()
+    ds = rd.from_items(
+        [{"media_id": mid, "payload": data} for mid, data in fix]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            img = decode_png(bytes(payload))
+            h, w, _ = img.shape
+            s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows.append((mid, w, h, int(s[0]), int(s[1]), int(s[2])))
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+        )
+
+    out = ds.map_batches(decode, batch_format="pandas").to_pandas()
+    for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _wav_fixture():
     """Deterministic RIFF/WAVE PCM16 payloads for the decoder oracle."""
     import numpy as np
@@ -870,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_docids": T.assign_docids,
         "media_features": _q_media_features,
         "media_bmp_decode": _q_media_bmp_decode,
+        "media_png_decode": _q_media_png_decode,
         "media_wav_decode": _q_media_wav_decode,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
@@ -1174,6 +1237,9 @@ def oracle_sql() -> dict[str, str]:
     _WAV_VALUES = ",".join(
         f"('{mid}','{data.hex()}')" for mid, data in _wav_fixture()
     )
+    _PNG_VALUES = ",".join(
+        f"('{mid}','{data.hex()}')" for mid, data in _png_fixture()
+    )
 
     # crawl_robots: host → robots.txt body inlined as VALUES (shared
     # SynthWeb fixture input); the Robots.cpp/RobotRule.cpp parser +
@@ -1373,6 +1439,68 @@ def oracle_sql() -> dict[str, str]:
         # the canonical RIFF/WAVE layout re-read in SQL: fmt sample
         # rate at bytes 24-27, data length at 40-43, LE-signed int16
         # samples from byte 44
+        "media_png_decode": f"""
+            WITH media(media_id, hex) AS (VALUES {_PNG_VALUES}),
+            hexd(d, v) AS (VALUES {_HEXD}),
+            bytes AS (
+              SELECT m.media_id, idx.i, h1.v * 16 + h2.v AS b
+              FROM media m
+              CROSS JOIN (SELECT unnest(range(0, 256)) AS i) idx
+              JOIN hexd h1 ON h1.d = substr(m.hex, 2 * idx.i + 1, 1)
+              JOIN hexd h2 ON h2.d = substr(m.hex, 2 * idx.i + 2, 1)
+              WHERE 2 * idx.i + 2 <= len(m.hex)
+            ),
+            -- IHDR width/height are BIG-endian u32 at offsets 16/20
+            dims AS (
+              SELECT media_id,
+                16777216 * MAX(CASE WHEN i = 16 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 17 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 18 THEN b END)
+                  + MAX(CASE WHEN i = 19 THEN b END) AS w,
+                16777216 * MAX(CASE WHEN i = 20 THEN b END)
+                  + 65536 * MAX(CASE WHEN i = 21 THEN b END)
+                  + 256 * MAX(CASE WHEN i = 22 THEN b END)
+                  + MAX(CASE WHEN i = 23 THEN b END) AS h
+              FROM bytes GROUP BY media_id
+            ),
+            -- fixture contract: one STORED deflate block, raw scanline
+            -- stream at byte 48; scanline r = 1 filter byte + 3w pixels
+            raw AS (
+              SELECT b.media_id, d.w, d.h,
+                     (b.i - 48) // (3 * d.w + 1) AS r,
+                     (b.i - 48) % (3 * d.w + 1) AS o, b.b
+              FROM bytes b JOIN dims d USING (media_id)
+              WHERE b.i >= 48 AND (b.i - 48) < d.h * (3 * d.w + 1)
+            ),
+            flt AS (
+              SELECT media_id, r, b AS f FROM raw WHERE o = 0
+            ),
+            -- defilter: None passes through; Sub is a per-channel
+            -- prefix sum mod 256 along the scanline
+            rec AS (
+              SELECT p.media_id, p.w, p.h, (p.o - 1) % 3 AS ch,
+                CASE WHEN f.f = 0 THEN p.b
+                     ELSE SUM(p.b) OVER (
+                       PARTITION BY p.media_id, p.r, (p.o - 1) % 3
+                       ORDER BY p.o) % 256
+                END AS v
+              FROM raw p
+              JOIN flt f ON f.media_id = p.media_id AND f.r = p.r
+              WHERE p.o >= 1
+            )
+            SELECT media_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END)
+                        AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END)
+                        AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END)
+                        AS BIGINT) AS sum_b
+            FROM rec
+            GROUP BY media_id, w, h
+            ORDER BY media_id
+        """,
         "media_wav_decode": f"""
             WITH media(media_id, hex) AS (VALUES {_WAV_VALUES}),
             hexd(d, v) AS (VALUES {_HEXD}),

@@ -78,6 +78,183 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[::-1] if hgt > 0 else img
 
 
+# ---------------------------------------------------------------------------
+# PNG codec (pure numpy + stdlib zlib).  The reference thumbnails crawled
+# images via external converters (Images.cpp:14-40 jpegtopnm/pngtopnm);
+# PNG is fully decodable here — zlib inflate + the five per-scanline
+# filters — so the most common real media bytes after JPEG decode for
+# real.  8-bit gray (color 0), RGB (2) and RGBA (6) supported.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """zlib stream with STORED (uncompressed) deflate blocks — byte
+    layout a SQL oracle can re-read: 2-byte header, then per block
+    1 byte BFINAL/BTYPE=00 + LEN + ~LEN (LE u16) + LEN raw bytes,
+    adler32 trailer."""
+    import zlib
+
+    out = bytearray(b"\x78\x01")
+    pos = 0
+    while True:
+        chunk = data[pos : pos + 65535]
+        final = 1 if pos + 65535 >= len(data) else 0
+        out.append(final)
+        out += struct.pack("<HH", len(chunk), 0xFFFF ^ len(chunk))
+        out += chunk
+        pos += 65535
+        if final:
+            break
+    return bytes(out) + struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), vectorized."""
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    img: np.ndarray, filters=None, stored: bool = False
+) -> bytes:
+    """(h, w[, ch]) uint8 → PNG bytes (8-bit gray/RGB/RGBA).
+
+    ``filters``: per-scanline filter types (0-4), default all 0.
+    ``stored=True`` writes the zlib stream as STORED deflate blocks so
+    the byte layout is SQL-re-readable (the media_png_decode oracle)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    if filters is None:
+        filters = [0] * h
+    lines = img.astype(np.int64).reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int64)
+    for r in range(h):
+        f = filters[r]
+        cur = lines[r]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            filt = cur - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = _zlib_stored(bytes(raw)) if stored else zlib.compress(bytes(raw), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, ch) uint8.  8-bit depth, color types
+    0/2/6, no interlace; all five scanline filters defiltered."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = color = depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        f = raw[r, 0]
+        line = raw[r, 1:].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:
+            # Sub: recon[i] = raw[i] + recon[i-ch]  ==  per-channel
+            # prefix sum mod 256 (mod distributes over +)
+            rec = (
+                np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) % 256
+            )
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f in (3, 4):
+            # Average/Paeth need recon[left] — sequential per pixel,
+            # vectorized across channels
+            rec = np.empty(stride, np.int64)
+            lm = line.reshape(w, ch)
+            pm = prev.reshape(w, ch)
+            rm = rec.reshape(w, ch)
+            um = np.zeros(ch, np.int64)
+            lf = np.zeros(ch, np.int64)
+            for x in range(w):
+                pred = (
+                    (lf + pm[x]) // 2
+                    if f == 3
+                    else _paeth(lf, pm[x], um)
+                )
+                rm[x] = (lm[x] + pred) % 256
+                lf = rm[x]
+                um = pm[x]
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono PCM → RIFF/WAVE bytes."""
     data = samples.astype("<i2").tobytes()
@@ -200,9 +377,11 @@ class MediaDecodeStage:
         else falls back to the deterministic stub."""
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
+        if payload[:8] == PNG_SIG:
+            return self._image_features(decode_png(payload))
         if payload[:4] == b"RIFF":
             return self._decode_wav(payload)
-        if HAVE_PIL and payload[:2] in (b"\xff\xd8", b"\x89P"):
+        if HAVE_PIL and payload[:2] == b"\xff\xd8":
             return self._decode_pil(payload, kind)
         return self._decode_fake(payload, kind)
 
@@ -226,11 +405,17 @@ class MediaDecodeStage:
         return rate, int(n * 1000 / rate), windows, feat
 
     def _decode_bmp(self, payload: bytes):
-        """REAL image path: decode pixels, resize (aspect-preserving
+        return self._image_features(decode_bmp(payload))
+
+    def _image_features(self, img: np.ndarray):
+        """REAL image path (BMP + PNG): resize (aspect-preserving
         nearest-neighbor to target_size on the short side), and extract
         features from the RESIZED pixels — per-channel mean/std + a
         26-bin grayscale histogram, L2-normalized."""
-        img = decode_bmp(payload)
+        if img.shape[2] == 1:  # gray → 3-channel
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:  # drop alpha
+            img = img[:, :, :3]
         h, w = img.shape[:2]
         scale = self.target_size / min(w, h)
         rw, rh = max(1, round(w * scale)), max(1, round(h * scale))

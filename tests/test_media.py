@@ -117,3 +117,58 @@ def test_wav_roundtrip_and_audio_decode():
     # distinct refs produce distinct spectra
     p2 = synth_payload("http://x.test/other.wav", "audio")
     assert p2 != payload
+
+
+def test_png_roundtrip_all_filters_and_depths():
+    """PNG codec (pure numpy + zlib): every scanline filter (0-4),
+    gray/RGB/RGBA channels, stored AND compressed zlib streams all
+    round-trip pixels exactly."""
+    from open_source_search_engine_ray.pipelines.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(6, 9, ch), dtype=np.uint8)
+        src = img[:, :, 0] if ch == 1 else img
+        for filters in (None, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                        [0, 1, 2, 3, 4, 2]):
+            for stored in (False, True):
+                back = decode_png(encode_png(src, filters=filters,
+                                             stored=stored))
+                assert back.shape == (6, 9, ch)
+                assert (back == img).all(), (ch, filters, stored)
+
+
+def test_png_stage_dispatch_and_hostile_input():
+    """MediaDecodeStage dispatches on the PNG signature and decodes for
+    real (header dims reported); truncated/corrupt PNG bytes raise
+    ValueError instead of garbage."""
+    import pytest
+    import zlib
+
+    from open_source_search_engine_ray.pipelines.media import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    payload = encode_png(img, filters=[4] * 21)
+    st = MediaDecodeStage()
+    w, h, fr, feat = st._decode(payload, "image")
+    assert (w, h, fr) == (34, 21, 1)
+    assert abs(float(np.linalg.norm(feat)) - 1.0) < 1e-6
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNGxxxx" + payload[8:])  # bad signature
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIG)  # no IHDR
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(payload[:60])  # truncated IDAT
+    # 16-bit depth / interlace rejected, not mis-decoded
+    bad = bytearray(payload)
+    bad[24] = 16  # depth byte inside IHDR
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
