@@ -45,6 +45,9 @@ CT_DOC = 5
 CT_XLS = 6
 CT_PPT = 7
 CT_PS = 8
+# extension beyond HttpMime.h's CT_UNKNOWN..CT_PS: RTF arrives as
+# application/rtf on real crawls and has a cheap pure-Python extractor
+CT_RTF = 9
 
 _CT_MAP = {
     "text/html": CT_HTML,
@@ -57,10 +60,12 @@ _CT_MAP = {
     "application/vnd.ms-excel": CT_XLS,
     "application/vnd.ms-powerpoint": CT_PPT,
     "application/postscript": CT_PS,
+    "application/rtf": CT_RTF,
+    "text/rtf": CT_RTF,
 }
 
 # the binary types gbfilter converts (XmlDoc.cpp:9725-9741)
-CONVERTIBLE = frozenset({CT_PDF, CT_DOC, CT_XLS, CT_PPT, CT_PS})
+CONVERTIBLE = frozenset({CT_PDF, CT_DOC, CT_XLS, CT_PPT, CT_PS, CT_RTF})
 
 # converter binary per type (gbconvert.sh wraps pdftohtml)
 _CONVERTER_BIN = {
@@ -166,6 +171,111 @@ def pdf_extract_text(data: bytes) -> str:
     return text.decode("latin-1", errors="replace")
 
 
+_PS_SHOW_RE = re.compile(
+    rb"(\((?:\\.|[^\\()])*\))\s*"
+    rb"(?:show|ashow|widthshow|awidthshow|kshow)\b"
+)
+
+
+def ps_extract_text(data: bytes) -> str:
+    """Text from PostScript: every string literal that feeds a
+    show-family operator (``(s) show``, ``ax ay (s) ashow``, ...), in
+    document order — the same signal ``pstotext`` keys on.  Nested
+    unescaped parens inside literals are not handled (rare; external
+    pstotext covers them when installed).  Returns "" when nothing
+    extractable."""
+    parts = [
+        _unescape_literal(m.group(1)) for m in _PS_SHOW_RE.finditer(data)
+    ]
+    return b" ".join(p for p in parts if p.strip()).decode(
+        "latin-1", errors="replace"
+    )
+
+
+#: RTF destination groups whose content is metadata, not body text
+_RTF_SKIP_DESTS = frozenset(
+    {
+        b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+        b"header", b"footer", b"headerl", b"headerr", b"footerl",
+        b"footerr", b"object", b"datastore", b"themedata",
+    }
+)
+_RTF_TOKEN_RE = re.compile(
+    rb"\\'([0-9a-fA-F]{2})"      # hex escape
+    rb"|\\u(-?\d+)\s?"           # unicode escape (+1 fallback char)
+    rb"|\\([a-zA-Z]+)(-?\d+)? ?" # control word
+    rb"|\\([^a-zA-Z])"           # control symbol (\\ \{ \} \~ \*)
+    rb"|([{}])"                  # group delimiters
+)
+
+
+def rtf_extract_text(data: bytes) -> str:
+    """Text from RTF: tokenizes control words / hex + unicode escapes /
+    groups, skipping metadata destinations (fonttbl, pict, \\*-groups,
+    ...); ``\\par``/``\\line`` become newlines, ``\\tab`` a tab.
+    cp1252 for hex-escaped and plain bytes."""
+    if not data.startswith(b"{\\rtf"):
+        return ""
+    out: list[str] = []
+    depth = 0
+    skip_until = None  # group depth at which a skipped destination ends
+    uc_skip = 1  # chars to skip after \uN (the \ucN parm)
+    pending_skip = 0
+    pos = 0
+    for m in _RTF_TOKEN_RE.finditer(data):
+        if m.start() > pos and skip_until is None:
+            run = data[pos : m.start()].replace(b"\r", b"").replace(b"\n", b"")
+            if pending_skip:  # \uN fallback chars to drop
+                drop = min(pending_skip, len(run))
+                run = run[drop:]
+                pending_skip -= drop
+            if run:
+                out.append(run.decode("cp1252", errors="replace"))
+        pos = m.end()
+        hexb, uni, word, parm, sym, grp = m.groups()
+        if grp == b"{":
+            depth += 1
+            continue
+        if grp == b"}":
+            depth -= 1
+            if skip_until is not None and depth < skip_until:
+                skip_until = None
+            continue
+        if skip_until is not None:
+            continue
+        if sym == b"*":
+            # {\* ...}: unknown destination — skip the whole group
+            skip_until = depth
+            continue
+        if hexb is not None:
+            if pending_skip:
+                pending_skip -= 1
+            else:
+                out.append(bytes([int(hexb, 16)]).decode("cp1252", "replace"))
+            continue
+        if uni is not None:
+            cp = int(uni)
+            out.append(chr(cp + 65536 if cp < 0 else cp))
+            pending_skip = uc_skip
+            continue
+        if sym is not None:
+            out.append(
+                {b"\\": "\\", b"{": "{", b"}": "}", b"~": "\xa0"}.get(sym, "")
+            )
+            continue
+        if word is not None:
+            if word in _RTF_SKIP_DESTS:
+                skip_until = depth
+            elif word == b"uc":
+                uc_skip = int(parm or 1)
+            elif word in (b"par", b"line", b"sect", b"page"):
+                out.append("\n")
+            elif word == b"tab":
+                out.append("\t")
+            continue
+    return "".join(out).strip()
+
+
 def _html_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -228,13 +338,18 @@ class DocConvertStage:
             html = self._convert_external(prog, args, data)
             if html is not None:
                 return html, True
+        text = ""
         if ct == CT_PDF:
             text = pdf_extract_text(data)
-            if text.strip():
-                return (
-                    "<html><body><p>" + _html_escape(text) + "</p></body></html>",
-                    True,
-                )
+        elif ct == CT_PS:
+            text = ps_extract_text(data)
+        elif ct == CT_RTF:
+            text = rtf_extract_text(data)
+        if text.strip():
+            return (
+                "<html><body><p>" + _html_escape(text) + "</p></body></html>",
+                True,
+            )
         return "", False
 
     def __call__(self, batch: pa.Table) -> pa.Table:

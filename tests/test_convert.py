@@ -145,3 +145,54 @@ def test_warc_pdf_to_spans(ray_session, tmp_path):
     }
     assert "portable document text" in texts["http://w.test/doc.pdf"]
     assert "html page" in texts["http://w.test/page.html"]
+
+
+def test_ps_extract_text():
+    from open_source_search_engine_ray.stages.convert import (
+        CT_PS,
+        ps_extract_text,
+    )
+
+    ps = (
+        b"%!PS-Adobe-3.0\n/Times findfont 12 scalefont setfont\n"
+        b"72 720 moveto (Hello PostScript) show\n"
+        b"72 700 moveto 1 0 (spaced \\(escaped\\) text) ashow\n"
+        b"0 0 32 1 0 (width shown) widthshow\nshowpage\n"
+    )
+    got = ps_extract_text(ps)
+    assert got == "Hello PostScript spaced (escaped) text width shown"
+    assert ps_extract_text(b"%!PS\nnewpath 0 0 moveto showpage\n") == ""
+    # stage fallback path (no pstotext binary in the sandbox)
+    st = DocConvertStage()
+    html, ok = st.convert(CT_PS, ps)
+    if st._bins[CT_PS][0] is None:
+        assert ok and "Hello PostScript" in html and html.startswith("<html>")
+
+
+def test_rtf_extract_text():
+    from open_source_search_engine_ray.stages.convert import (
+        CT_RTF,
+        get_content_type,
+        rtf_extract_text,
+    )
+
+    rtf = (
+        rb"{\rtf1\ansi\deff0{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"{\*\generator Fancy Writer 9;}"
+        rb"\uc1\pard Caf\'e9 body \u8212 ? dash{\b bold run} text\par"
+        rb" second \{line\} with tab\tab end}"
+    )
+    got = rtf_extract_text(rtf)
+    assert "Café body — dash" in got
+    assert "bold run text" in got
+    assert "\nsecond {line} with tab\tend" in got
+    # metadata destinations are skipped
+    assert "Times New Roman" not in got
+    assert "Fancy Writer" not in got
+    assert rtf_extract_text(b"plain text, not rtf") == ""
+    assert get_content_type("application/rtf") == CT_RTF
+    assert get_content_type("text/rtf; charset=windows-1252") == CT_RTF
+    st = DocConvertStage()
+    html, ok = st.convert(CT_RTF, rtf)
+    assert ok and "Café body" in html
