@@ -229,10 +229,15 @@ class HttpFetchStage:
         force_use_proxies: bool = False,
         auto_use_proxies: bool = False,
         use_if_modified_since: bool = False,
+        ca_file: str | None = None,
     ):
         self.ua = user_agent
         self.resolve = resolve
         self.dns = dns
+        # ssl.SSLContext is NOT picklable, so fetch actors on other
+        # nodes can't receive one via fetcher_kwargs; ``ca_file`` is the
+        # picklable form — the context is built lazily per actor
+        self.ca_file = ca_file
         self.ssl_context = ssl_context
         self.connect_timeout_s = connect_timeout_s
         self.read_timeout_s = read_timeout_s
@@ -311,7 +316,9 @@ class HttpFetchStage:
             if self.ssl_context is None:
                 import ssl as _ssl
 
-                self.ssl_context = _ssl.create_default_context()
+                self.ssl_context = _ssl.create_default_context(
+                    cafile=self.ca_file
+                )
             # SNI/verify against the URL host, not the resolved address
             ssl_kw = {"ssl": self.ssl_context, "server_hostname": host}
         reader = writer = None
@@ -337,7 +344,9 @@ class HttpFetchStage:
                 if self.ssl_context is None:
                     import ssl as _ssl
 
-                    self.ssl_context = _ssl.create_default_context()
+                    self.ssl_context = _ssl.create_default_context(
+                        cafile=self.ca_file
+                    )
                 await writer.start_tls(
                     self.ssl_context, server_hostname=host
                 )

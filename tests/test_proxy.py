@@ -189,113 +189,7 @@ class _Origin:
         writer.close()
 
 
-class _ForwardProxy:
-    """A real localhost forward proxy: absolute-URI GET for plain HTTP
-    (forwarded to the origin in origin-form), CONNECT tunneling for
-    https.  ``ban_hosts``: hosts whose origin "banned this proxy's IP"
-    — non-robots requests get 403 (the signal ipWasBanned keys on)."""
-
-    def __init__(self, http_origin_port, tls_origin_port=None, ban_hosts=()):
-        self.http_origin_port = http_origin_port
-        self.tls_origin_port = tls_origin_port
-        self.ban_hosts = set(ban_hosts)
-        self.hits = []  # (method, host, path)
-        self.auths = []  # Proxy-Authorization header values seen
-        self.loop = None
-        self.port = None
-        self._ready = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-
-    def start(self):
-        self._thread.start()
-        assert self._ready.wait(5)
-        return self
-
-    def stop(self):
-        self.loop.call_soon_threadsafe(self.loop.stop)
-        self._thread.join(5)
-
-    def _run(self):
-        self.loop = asyncio.new_event_loop()
-        asyncio.set_event_loop(self.loop)
-        srv = self.loop.run_until_complete(
-            asyncio.start_server(self._handle, "127.0.0.1", 0)
-        )
-        self.port = srv.sockets[0].getsockname()[1]
-        self._ready.set()
-        self.loop.run_forever()
-
-    @staticmethod
-    async def _pipe(reader, writer):
-        try:
-            while True:
-                chunk = await reader.read(65536)
-                if not chunk:
-                    break
-                writer.write(chunk)
-                await writer.drain()
-        except (ConnectionError, ssl.SSLError):
-            pass
-        try:
-            writer.close()
-        except Exception:
-            pass
-
-    async def _handle(self, reader, writer):
-        try:
-            head = await reader.readuntil(b"\r\n\r\n")
-        except (asyncio.IncompleteReadError, ConnectionError):
-            writer.close()
-            return
-        lines = head.decode("latin-1").split("\r\n")
-        method, target = lines[0].split()[:2]
-        for ln in lines[1:]:
-            if ln.lower().startswith("proxy-authorization:"):
-                self.auths.append(ln.split(":", 1)[1].strip())
-        if method == "CONNECT":
-            host = target.split(":")[0]
-            self.hits.append(("CONNECT", host, ""))
-            if host in self.ban_hosts or self.tls_origin_port is None:
-                writer.write(b"HTTP/1.1 403 Forbidden\r\n\r\n")
-                await writer.drain()
-                writer.close()
-                return
-            up_r, up_w = await asyncio.open_connection(
-                "127.0.0.1", self.tls_origin_port
-            )
-            writer.write(b"HTTP/1.1 200 Connection established\r\n\r\n")
-            await writer.drain()
-            await asyncio.gather(
-                self._pipe(reader, up_w), self._pipe(up_r, writer)
-            )
-            return
-        # absolute-URI GET: http://host[:port]/path
-        rest = target.partition("://")[2]
-        hostport, _, path = rest.partition("/")
-        host = hostport.split(":")[0]
-        path = "/" + path
-        self.hits.append((method, host, path))
-        if host in self.ban_hosts and path != "/robots.txt":
-            writer.write(
-                b"HTTP/1.1 403 Forbidden\r\nContent-Length: 0\r\n\r\n"
-            )
-            await writer.drain()
-            writer.close()
-            return
-        up_r, up_w = await asyncio.open_connection(
-            "127.0.0.1", self.http_origin_port
-        )
-        origin_form = "\r\n".join([f"{method} {path} HTTP/1.1"] + lines[1:])
-        up_w.write(origin_form.encode("latin-1"))
-        await up_w.drain()
-        resp = await up_r.read(-1)
-        up_w.close()
-        writer.write(resp)
-        try:
-            await writer.drain()
-        except ConnectionError:
-            pass
-        writer.close()
+from open_source_search_engine_ray.testing import ForwardProxy as _ForwardProxy
 
 
 @pytest.fixture(scope="module")
