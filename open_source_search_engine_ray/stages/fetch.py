@@ -183,6 +183,31 @@ def _part_vec(ips: np.ndarray, P: int) -> np.ndarray:
     return lut[inv]
 
 
+def _crc32_col(col, n: int) -> np.ndarray:
+    """crc32 of each row of an Arrow string column, read zero-copy off
+    the utf-8 data buffer (identical to ``crc32(s.encode())`` but
+    without materializing a bytes copy per row; empty rows hash to 0)."""
+    out = np.zeros(n, np.int64)
+    pos = 0
+    crc = zlib.crc32
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        m = len(chunk)
+        if m == 0:
+            continue
+        bufs = chunk.buffers()
+        wid = 8 if pa.types.is_large_string(chunk.type) else 4
+        dt = np.int64 if wid == 8 else np.int32
+        off = np.frombuffer(bufs[1], dt, m + 1, chunk.offset * wid)
+        mv = memoryview(bufs[2])
+        for i in range(m):
+            a, b = off[i], off[i + 1]
+            if b > a:
+                out[pos + i] = crc(mv[a:b])
+        pos += m
+    return out
+
+
 def _records(n: int, **cols) -> pa.Table:
     """Columnar RECORD_SCHEMA builder: absent fields become nulls (the
     same shape ``Table.from_pylist`` produced for missing keys)."""
@@ -256,12 +281,10 @@ class ParseStage:
             # detection (dedup / percentChangedPerDay), and the
             # table-gather hash64b costs ~24 bytes of memory traffic per
             # input byte — the hash32 family is already a documented
-            # divergence from the reference (gbhash.hash32_batch doc)
-            content_hash32=np.fromiter(
-                (zlib.crc32(h.encode()) if h else 0 for h in htmls),
-                np.int64,
-                n,
-            ),
+            # divergence from the reference (gbhash.hash32_batch doc).
+            # Hashed straight off the Arrow utf-8 buffer: equals
+            # crc32(h.encode()) without the per-row str→bytes copy
+            content_hash32=_crc32_col(batch["html"], n),
             wave=wave,
         )
 
