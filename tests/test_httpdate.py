@@ -40,6 +40,28 @@ def test_timezone_is_added_like_the_reference():
     assert parse_http_date("Tue, 15 Nov 1994 12:45:26 XQZ") == gmt
 
 
+def test_full_timezone_table():
+    # the FULL Timezone.cpp table is ported (273 active entries) —
+    # spot-check half-hour/quarter-hour zones and the reference's own
+    # quirks (Timezone.cpp:14-293; quirks ARE the spec):
+    from open_source_search_engine_ray.functions.httpdate import TZ_OFFSETS
+
+    assert len(TZ_OFFSETS) == 273
+    gmt = parse_http_date("Tue, 15 Nov 1994 12:45:26 GMT")
+
+    def off(zone):
+        return parse_http_date(f"Tue, 15 Nov 1994 12:45:26 {zone}") - gmt
+
+    assert off("CHADT") == 13 * 3600 + 45 * 60  # +13:45 quarter-hour
+    assert off("NST") == -(3 * 3600 + 30 * 60)  # -3:30 (negative minMod)
+    assert off("MART") == -(9 * 3600 + 30 * 60)
+    assert off("IST") == 3600       # Irish Summer Time, NOT India (+5:30)
+    assert off("NDT") == 9000       # reference says +2:30 (quirk)
+    assert off("MT") == -7 * 3600   # "MORE LIKELY MOUNTAIN TIME"
+    assert off("NZDT") == 13 * 3600
+    assert off("YAKST") == 10 * 3600 if "yakst" in TZ_OFFSETS else True
+
+
 def test_failure_paths():
     for s in ("", None, b"", "garbage", "9999-99-99", "1234-", "Mon, 99"):
         assert parse_http_date(s) == -1
