@@ -491,10 +491,14 @@ def render_html(spans, title: str = "") -> str:
 
 
 _NODE = re.compile(
-    r"<p>(?P<text>.*?)</p>"
-    r'|<a href="(?P<href>[^"]*)">(?P<anchor>.*?)</a>'
-    r'|<img src="(?P<img>[^"]*)" alt="(?P<alt>[^"]*)">'
-    r'|<video src="(?P<vid>[^"]*)">(?P<vtext>.*?)</video>',
+    # one-char discriminator groups (p/a/i/v) let findall() name the
+    # matched alternative without Match objects — a literal char group
+    # is non-empty iff its alternative matched, unlike content groups
+    # which are "" both when unmatched and when matched-empty
+    r"<(p)>(.*?)</p>"
+    r'|<(a) href="([^"]*)">(.*?)</a>'
+    r'|<(i)mg src="([^"]*)" alt="([^"]*)">'
+    r'|<(v)ideo src="([^"]*)">(.*?)</video>',
     re.S,
 )
 
@@ -509,30 +513,39 @@ def parse_html_columnar(html: str) -> tuple:
     kinds: list = []
     texts: list = []
     refs: list = []
-    ka, ta, ra = kinds.append, texts.append, refs.append
-    # dispatch on lastgroup (one attr read) + numbered group fetches:
-    # groups are text=1, href=2, anchor=3, img=4, alt=5, vid=6, vtext=7
-    # in definition order; an alternative's LAST group names it even
-    # when it matched empty
-    for m in _NODE.finditer(html):
-        lg = m.lastgroup
-        if lg == "text":
+    parse_html_into(html, kinds.append, texts.append, refs.append)
+    return kinds, texts, refs
+
+
+def parse_html_into(html: str, ka, ta, ra) -> int:
+    """Accumulator form of :func:`parse_html_columnar`: appends each
+    span's kind/text/media_ref through the three append callables and
+    returns the span count.  Lets a batch parser build ONE flat column
+    per field across many pages (Arrow list<struct> children) without
+    per-page intermediate lists + a second flattening walk."""
+    n = 0
+    # findall() returns C-built tuples (no Match objects / .group calls
+    # in the hot loop); groups 0-indexed: p=0, ptext=1, a=2, href=3,
+    # anchor=4, i=5, imgsrc=6, alt=7, v=8, vsrc=9, vtext=10
+    for tup in _NODE.findall(html):
+        if tup[0]:
             ka("text")
-            ta(_unesc(m.group(1)))
+            ta(_unesc(tup[1]))
             ra("")
-        elif lg == "anchor":
+        elif tup[2]:
             ka("link")
-            ta(_unesc(m.group(3)))
-            ra(_unesc(m.group(2)))
-        elif lg == "alt":
+            ta(_unesc(tup[4]))
+            ra(_unesc(tup[3]))
+        elif tup[5]:
             ka("image")
-            ta(_unesc(m.group(5)))
-            ra(_unesc(m.group(4)))
+            ta(_unesc(tup[7]))
+            ra(_unesc(tup[6]))
         else:
             ka("video")
-            ta(_unesc(m.group(7)))
-            ra(_unesc(m.group(6)))
-    return kinds, texts, refs
+            ta(_unesc(tup[10]))
+            ra(_unesc(tup[9]))
+        n += 1
+    return n
 
 
 def parse_html(html: str) -> list:

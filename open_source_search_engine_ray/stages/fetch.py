@@ -37,7 +37,13 @@ from ..functions.urlfilter import (
     url_is_root,
     url_is_rssext,
 )
-from ..sources.synthweb import SynthWeb, WebConfig, fetch_url, get_web, parse_html_columnar
+from ..sources.synthweb import (
+    SynthWeb,
+    WebConfig,
+    fetch_url,
+    get_web,
+    parse_html_into,
+)
 from ..state.frontier import part_of_ip
 from .canonicalize import resolve_ip
 
@@ -290,17 +296,24 @@ class ParseStage:
 
         # docs: span sequences for the 200-OK rows, assembled directly
         # as Arrow list<struct> children (no per-span dicts in the hot
-        # path; parse_html_columnar returns parallel columns)
+        # path; parse_html_into appends straight into the flat children)
         ok_idx = np.nonzero((err == 0) & (status == 200))[0]
-        spans_cols = [parse_html_columnar(htmls[i]) for i in ok_idx]
-        lens = np.fromiter((len(k) for k, _, _ in spans_cols), np.int64, len(spans_cols))
-        offsets = np.zeros(len(spans_cols) + 1, np.int32)
+        flat_k: list[str] = []
+        flat_t: list[str] = []
+        flat_r: list[str] = []
+        fk, ft, fr = flat_k.append, flat_t.append, flat_r.append
+        lens = np.fromiter(
+            (parse_html_into(htmls[i], fk, ft, fr) for i in ok_idx),
+            np.int64,
+            len(ok_idx),
+        )
+        offsets = np.zeros(len(ok_idx) + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])
         flat_struct = pa.StructArray.from_arrays(
             [
-                pa.array([x for k, _, _ in spans_cols for x in k], pa.string()),
-                pa.array([x for _, t, _ in spans_cols for x in t], pa.string()),
-                pa.array([x for _, _, r in spans_cols for x in r], pa.string()),
+                pa.array(flat_k, pa.string()),
+                pa.array(flat_t, pa.string()),
+                pa.array(flat_r, pa.string()),
                 pa.array(
                     np.concatenate([np.arange(ln, dtype=np.int32) for ln in lens])
                     if len(lens)
@@ -343,8 +356,8 @@ class ParseStage:
         for di, i in enumerate(ok_idx):
             if not harvest[i]:
                 continue
-            kinds_d, _texts_d, refs_d = spans_cols[di]
-            for k, r in zip(kinds_d, refs_d):
+            a, b = int(offsets[di]), int(offsets[di + 1])
+            for k, r in zip(flat_k[a:b], flat_r[a:b]):
                 if k == "link":
                     link_raw.append(r)
                     link_src.append(int(i))
