@@ -34,19 +34,12 @@ import pyarrow as pa
 
 FEATURE_DIM = 32
 
-try:  # PIL/av would handle jpeg/png/video; not present in this container
-    import PIL.Image  # noqa: F401
-
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
-
-
 # ---------------------------------------------------------------------------
 # BMP codec (pure numpy — 24bpp BITMAPINFOHEADER): image payloads are
 # REAL spec-compliant bitmaps, so the decode stage exercises an actual
 # binary image decode + pixel resize + feature extraction with no
-# external libs.  jpeg/png stay behind the PIL import-try.
+# external libs.  JPEG decodes via the pure-numpy baseline codec
+# (media_jpeg.py); video remains the deterministic stub.
 # ---------------------------------------------------------------------------
 
 
@@ -372,17 +365,28 @@ class MediaDecodeStage:
         self.frame_stride = frame_stride
 
     def _decode(self, payload: bytes, kind: str):
-        """Dispatch on the payload magic: BMP decodes for real (pure
-        numpy); jpeg/png would go through PIL (import-gated); anything
-        else falls back to the deterministic stub."""
+        """Dispatch on the payload magic: BMP, PNG, WAV and baseline
+        JPEG decode for real (pure numpy); anything else falls back to
+        the deterministic stub."""
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
         if payload[:8] == PNG_SIG:
             return self._image_features(decode_png(payload))
         if payload[:4] == b"RIFF":
             return self._decode_wav(payload)
-        if HAVE_PIL and payload[:2] == b"\xff\xd8":
-            return self._decode_pil(payload, kind)
+        if payload[:2] == b"\xff\xd8":
+            # REAL baseline-JPEG path (pure numpy, media_jpeg.py);
+            # progressive/arithmetic payloads raise and fall back to
+            # the deterministic stub like any other undecodable bytes
+            try:
+                from .media_jpeg import decode_jpeg
+
+                img = decode_jpeg(payload)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                return self._image_features(img)
+            except ValueError:
+                return self._decode_fake(payload, kind)
         return self._decode_fake(payload, kind)
 
     def _decode_wav(self, payload: bytes):
@@ -433,11 +437,6 @@ class MediaDecodeStage:
         if norm > 0:
             feat = feat / norm
         return w, h, 1, feat
-
-    def _decode_pil(self, payload: bytes, kind: str):
-        raise NotImplementedError(
-            "jpeg/png decode requires PIL, not present in this container"
-        )
 
     def _decode_fake(self, payload: bytes, kind: str):
         b = np.frombuffer(payload, dtype=np.uint8)
