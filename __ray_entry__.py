@@ -776,6 +776,111 @@ def _q_media_wav_decode(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+
+
+# media_jpeg_decode fixture parameters — chosen boundary-safe: no
+# (value, quality) pair lands within 1e-6 of a .5 quantization or
+# rounding boundary, where the FDCT's ~1e-13 float error (not the
+# JPEG math) would decide the result.  Pinned by
+# tests/test_media_jpeg.py::test_dc_only_closed_form's formula and
+# re-validated by tests/test_oracle_parity.py.
+_JPEG_SOLID = [  # (media_id, r, g, b, quality, subsample, w, h)
+    ("jpg00", 10, 200, 60, 85, "444", 24, 16),
+    ("jpg01", 255, 0, 0, 85, "444", 17, 9),
+    ("jpg02", 3, 7, 250, 85, "444", 40, 32),
+    ("jpg03", 120, 130, 140, 50, "444", 16, 16),
+    ("jpg04", 90, 45, 180, 95, "444", 8, 24),
+    ("jpg05", 10, 200, 60, 85, "420", 24, 16),
+    ("jpg06", 200, 100, 55, 85, "420", 17, 9),
+    ("jpg07", 33, 66, 99, 95, "420", 32, 8),
+]
+_JPEG_GRAY = [  # (media_id, v, quality, w, h)
+    ("jpg08", 91, 85, 24, 16),
+    ("jpg09", 203, 95, 16, 8),
+    ("jpg10", 128, 50, 9, 7),
+]
+_JPEG_TILED = [  # (media_id, a, step, quality, w, h, restart_interval)
+    ("jpg11", 25, 13, 85, 32, 24, 0),
+    ("jpg12", 61, 28, 50, 40, 16, 3),
+    ("jpg13", 7, 41, 95, 16, 16, 1),
+    ("jpg14", 100, 57, 85, 48, 8, 2),
+    ("jpg15", 11, 4, 50, 24, 24, 0),
+]
+
+
+def _jpeg_fixture():
+    """Deterministic baseline-JPEG payloads: solid RGB (4:4:4 and
+    4:2:0 — DC-only in every plane), solid gray, and per-8x8-tile gray
+    ramps (nonzero DC differentials + restart-marker resync).  Tile t
+    (raster order) holds value (a + step*t) % 206 + 25."""
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.media_jpeg import encode_jpeg
+
+    out = []
+    for mid, r, g, b, q, ss, w, h in _JPEG_SOLID:
+        img = np.full((h, w, 3), [r, g, b], np.uint8)
+        out.append((mid, encode_jpeg(img, q, subsample=ss)))
+    for mid, v, q, w, h in _JPEG_GRAY:
+        out.append((mid, encode_jpeg(np.full((h, w), v, np.uint8), q)))
+    for mid, a, step, q, w, h, ri in _JPEG_TILED:
+        img = np.zeros((h, w), np.uint8)
+        tw = w // 8
+        for t in range(tw * (h // 8)):
+            v = (a + step * t) % 206 + 25
+            img[(t // tw) * 8 : (t // tw + 1) * 8,
+                (t % tw) * 8 : (t % tw + 1) * 8] = v
+        out.append((mid, encode_jpeg(img, q, restart_interval=ri)))
+    return out
+
+
+def _q_media_jpeg_decode(sf_dir: str):
+    """Real baseline-JPEG decode over map_batches, oracle-checked with
+    a CLOSED-FORM twin: the engine runs the production decoder
+    (pipelines/media_jpeg.decode_jpeg — full Huffman entropy decode,
+    RSTn resync, dequantize, IDCT, chroma upsample, YCbCr→RGB — the
+    same kernel MediaDecodeStage dispatches on FFD8) over real
+    compressed bitstreams; the oracle recomputes the expected pixels in
+    SQL from the CONSTRUCTION PARAMETERS only (IJG quality scaling →
+    q00, DC quantization round-half-away, BT.601 color math,
+    round-half-even), never seeing the payload bytes.  The fixture is
+    DC-exact (solid planes / solid 8x8 tiles) so the prediction is
+    exact: any Huffman/bitstream/IDCT defect changes the sums.
+    Byte-level SQL re-reading (the BMP/PNG/WAV oracle shape) is not
+    feasible for JPEG — Huffman decode is inherently sequential."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.media_jpeg import decode_jpeg
+
+    ds = rd.from_items(
+        [{"media_id": mid, "payload": data} for mid, data in _jpeg_fixture()]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            img = decode_jpeg(bytes(payload))
+            if img.ndim == 2:  # gray: r=g=b
+                h, w = img.shape
+                t = int(img.sum(dtype=np.int64))
+                rows.append((mid, w, h, t, t, t))
+            else:
+                h, w, _ = img.shape
+                sm = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((mid, w, h, int(sm[0]), int(sm[1]), int(sm[2])))
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+        )
+
+    out = ds.map_batches(decode, batch_format="pandas").to_pandas()
+    for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -934,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bmp_decode": _q_media_bmp_decode,
         "media_png_decode": _q_media_png_decode,
         "media_wav_decode": _q_media_wav_decode,
+        "media_jpeg_decode": _q_media_jpeg_decode,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
         # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
@@ -1241,6 +1347,40 @@ def oracle_sql() -> dict[str, str]:
         f"('{mid}','{data.hex()}')" for mid, data in _png_fixture()
     )
 
+    # media_jpeg_decode: the oracle never sees the payload bytes — it
+    # recomputes the DC-exact fixture's pixels from construction params
+    _JPG_SOLID_VALUES = ",".join(
+        f"('{m}',{r},{g},{b},{q},{w},{h})"
+        for m, r, g, b, q, ss, w, h in _JPEG_SOLID
+    )
+    _JPG_GRAY_VALUES = ",".join(
+        f"('{m}',{v},{q},{w},{h})" for m, v, q, w, h in _JPEG_GRAY
+    )
+    _JPG_TILED_VALUES = ",".join(
+        f"('{m}',{a},{st},{q},{w},{h})"
+        for m, a, st, q, w, h, ri in _JPEG_TILED
+    )
+
+    def _sql_he(x):
+        """round-half-even + clip to [0,255] of a SQL double expr —
+        numpy's np.round/np.clip twin."""
+        return (
+            f"LEAST(255, GREATEST(0, "
+            f"CASE WHEN ({x}) - FLOOR({x}) > 0.5 THEN FLOOR({x}) + 1 "
+            f"WHEN ({x}) - FLOOR({x}) < 0.5 THEN FLOOR({x}) "
+            f"WHEN CAST(FLOOR({x}) AS BIGINT) % 2 = 0 THEN FLOOR({x}) "
+            f"ELSE FLOOR({x}) + 1 END))"
+        )
+
+    def _sql_dcrec(centered, q00):
+        """Decoded DC-only plane value: quantize round-half-away then
+        dequantize (media_jpeg encode/decode twin), as a SQL expr."""
+        d = f"8.0*({centered})"
+        return (
+            f"CASE WHEN {d} < 0 THEN -FLOOR(ABS(({d})/{q00}) + 0.5) "
+            f"ELSE FLOOR(ABS(({d})/{q00}) + 0.5) END * {q00} / 8.0 + 128.0"
+        )
+
     # crawl_robots: host → robots.txt body inlined as VALUES (shared
     # SynthWeb fixture input); the Robots.cpp/RobotRule.cpp parser +
     # matcher is then fully restated in SQL — see the query text
@@ -1544,6 +1684,89 @@ def oracle_sql() -> dict[str, str]:
             FROM hdr h JOIN smp s USING (media_id)
             GROUP BY h.media_id, h.rate
             ORDER BY h.media_id
+        """,
+        # closed-form JPEG expectation: IJG quality scaling -> q00,
+        # BT.601 color transform, DC quantize (half-away) + dequantize,
+        # half-even final rounding -- the engine decodes the real
+        # Huffman bitstream and must land on exactly these sums
+        "media_jpeg_decode": f"""
+            WITH solid(media_id, r, g, b, q, w, h) AS
+              (VALUES {_JPG_SOLID_VALUES}),
+            gray(media_id, v, q, w, h) AS (VALUES {_JPG_GRAY_VALUES}),
+            tiled(media_id, a, step, q, w, h) AS
+              (VALUES {_JPG_TILED_VALUES}),
+            sq AS (SELECT *,
+              CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2*q END AS sc
+              FROM solid),
+            sqq AS (SELECT *,
+              LEAST(GREATEST((16*sc + 50) // 100, 1), 255) AS q0l,
+              LEAST(GREATEST((17*sc + 50) // 100, 1), 255) AS q0c
+              FROM sq),
+            sycc AS (SELECT *,
+              0.299*r + 0.587*g + 0.114*b AS y,
+              -0.168735892*r - 0.331264108*g + 0.5*b + 128.0 AS cb,
+              0.5*r - 0.418687589*g - 0.081312411*b + 128.0 AS cr
+              FROM sqq),
+            sdc AS (SELECT *,
+              {_sql_dcrec("y - 128.0", "q0l")} AS y2,
+              {_sql_dcrec("(cb) - 128.0", "q0c")} AS cb2,
+              {_sql_dcrec("(cr) - 128.0", "q0c")} AS cr2
+              FROM sycc),
+            srgb AS (SELECT media_id, w, h,
+              y2 + 1.402*(cr2 - 128.0) AS xr,
+              y2 - 0.344136286*(cb2 - 128.0)
+                 - 0.714136286*(cr2 - 128.0) AS xg,
+              y2 + 1.772*(cb2 - 128.0) AS xb
+              FROM sdc),
+            solid_out AS (SELECT media_id, w, h,
+              w*h*{_sql_he("xr")} AS sum_r,
+              w*h*{_sql_he("xg")} AS sum_g,
+              w*h*{_sql_he("xb")} AS sum_b
+              FROM srgb),
+            gq AS (SELECT *,
+              CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2*q END AS sc
+              FROM gray),
+            gqq AS (SELECT *,
+              LEAST(GREATEST((16*sc + 50) // 100, 1), 255) AS q0l
+              FROM gq),
+            gdc AS (SELECT media_id, w, h,
+              {_sql_dcrec("CAST(v AS DOUBLE) - 128.0", "q0l")} AS y2
+              FROM gqq),
+            gray_out AS (SELECT media_id, w, h,
+              w*h*{_sql_he("y2")} AS sum_r,
+              w*h*{_sql_he("y2")} AS sum_g,
+              w*h*{_sql_he("y2")} AS sum_b
+              FROM gdc),
+            tq AS (SELECT *,
+              CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2*q END AS sc
+              FROM tiled),
+            tqq AS (SELECT *,
+              LEAST(GREATEST((16*sc + 50) // 100, 1), 255) AS q0l
+              FROM tq),
+            tv AS (SELECT media_id, w, h, q0l, a, step,
+              unnest(range(0, (w // 8) * (h // 8))) AS t
+              FROM tqq),
+            tval AS (SELECT media_id, w, h, q0l,
+              (a + step*t) % 206 + 25 AS v
+              FROM tv),
+            tdc AS (SELECT media_id, w, h,
+              {_sql_dcrec("CAST(v AS DOUBLE) - 128.0", "q0l")} AS y2
+              FROM tval),
+            tiled_out AS (SELECT media_id, w, h,
+              64*SUM({_sql_he("y2")}) AS sum_r,
+              64*SUM({_sql_he("y2")}) AS sum_g,
+              64*SUM({_sql_he("y2")}) AS sum_b
+              FROM tdc GROUP BY media_id, w, h),
+            allrows AS (
+              SELECT * FROM solid_out
+              UNION ALL SELECT * FROM gray_out
+              UNION ALL SELECT * FROM tiled_out)
+            SELECT media_id,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(sum_r AS BIGINT) AS sum_r,
+              CAST(sum_g AS BIGINT) AS sum_g,
+              CAST(sum_b AS BIGINT) AS sum_b
+            FROM allrows ORDER BY media_id
         """,
         # merge-time dedup over the durable fixture log (shared input
         # inlined as VALUES with its scan position); dedupSpiderdbList
