@@ -207,6 +207,76 @@ def _q_canonicalize_forms(sf_dir: str):
     return out.sort_values("k").reset_index(drop=True)
 
 
+# crawl_country_tld fixture: ccTLD picks (index k % 8) — two misses
+# ("xx" and "w3" are not in s_countryCode) plus six real codes
+_CC_PICK = ["de", "fr", "uk", "jp", "br", "ru", "xx", "w3"]
+
+
+def _country_url(k: int) -> str:
+    """URL form templates for the guessCountryTLD kernel — hits via
+    prefix-subdomain and ccTLD, misses via https offset shift, ports,
+    uppercase, gTLDs, slash-less URLs (each a branch of
+    LanguageIdentifier.cpp:4-31)."""
+    cc = _CC_PICK[k % 8]
+    c2 = _CC_PICK[(k + 3) % 8]
+    f = k % 12
+    if f == 0:
+        return f"http://www.shop{k}.{cc}/"
+    if f == 1:
+        return f"http://{cc}.shop{k}.com/"
+    if f == 2:
+        return f"http://www.shop{k}.{cc}:8080/a"
+    if f == 3:
+        return f"http://www.shop{k}.com/"
+    if f == 4:
+        return f"https://www.shop{k}.{cc}/"
+    if f == 5:
+        return f"http://www.shop{k}.{cc.upper()}/"
+    if f == 6:
+        return f"http://shop{k}.{cc}"
+    if f == 7:
+        return f"http://{cc}.shop{k}.{c2}/"
+    if f == 8:
+        return f"http://www.shop{k}.info/"
+    if f == 9:
+        return f"http://x{k}.{cc}/p.html"
+    if f == 10:
+        return f"http://{cc}{k}.example.com/"
+    return f"http://www.shop{k}.{cc}?q=1"
+
+
+def _q_country_tld(sf_dir: str):
+    """Country-from-URL guess (LanguageIdentifier::guessCountryTLD,
+    LanguageIdentifier.cpp:4-31, over the CountryCode.cpp abbr table),
+    oracle-checked: the engine runs the ported kernel on URLs built
+    from orders keys; the SQL twin RECONSTRUCTS the same URLs and
+    restates the C's byte-offset logic (prefix check at url[9],
+    ':'-else-'/' scan from offset 7, dot-guarded two-char code) joined
+    against the inlined country table."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.functions.countrycode import (
+        guess_country_tld,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["o_orderkey"].astype(np.int64).tolist()
+        return pd.DataFrame(
+            {
+                "k": np.asarray(ks, dtype=np.int64),
+                "country": np.asarray(
+                    [guess_country_tld(_country_url(int(k))) for k in ks],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
 def _q_url_seen_dedup(sf_dir: str):
     """URL-seen state machine on the 10^10-URL scale path
     (bloom first level + deletable cuckoo authoritative level,
@@ -1049,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_canonicalize": _q_canonicalize,
         "crawl_canonicalize_forms": _q_canonicalize_forms,
+        "crawl_country_tld": _q_country_tld,
         "crawl_url_seen_dedup": _q_url_seen_dedup,
         "crawl_uh48": _q_uh48,
         "crawl_robots": _q_robots,
@@ -1371,6 +1442,17 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN CAST(FLOOR({x}) AS BIGINT) % 2 = 0 THEN FLOOR({x}) "
             f"ELSE FLOOR({x}) + 1 END))"
         )
+
+    from open_source_search_engine_ray.functions.countrycode import (
+        COUNTRY_CODES as _CCODES,
+    )
+
+    _CC_TABLE_VALUES = ",".join(
+        f"('{c}',{i})" for i, c in enumerate(_CCODES) if i > 0
+    )
+    _CC_PICK_VALUES = ",".join(
+        f"({i},'{c}','{c.upper()}')" for i, c in enumerate(_CC_PICK)
+    )
 
     def _sql_dcrec(centered, q00):
         """Decoded DC-only plane value: quantize round-half-away then
@@ -1767,6 +1849,60 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum_g AS BIGINT) AS sum_g,
               CAST(sum_b AS BIGINT) AS sum_b
             FROM allrows ORDER BY media_id
+        """,
+        # guessCountryTLD restated in SQL: the URLs are rebuilt from
+        # the same templates, then the C's offset-7 scan + country
+        # table join reproduce the kernel byte for byte
+        "crawl_country_tld": f"""
+            WITH cc(abbr, idx) AS (VALUES {_CC_TABLE_VALUES}),
+            pick(m, code, ucode) AS (VALUES {_CC_PICK_VALUES}),
+            ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            built AS (
+              SELECT ks.k,
+                CASE ks.k % 12
+                  WHEN 0 THEN 'http://www.shop' || ks.k || '.' || p1.code || '/'
+                  WHEN 1 THEN 'http://' || p1.code || '.shop' || ks.k || '.com/'
+                  WHEN 2 THEN 'http://www.shop' || ks.k || '.' || p1.code || ':8080/a'
+                  WHEN 3 THEN 'http://www.shop' || ks.k || '.com/'
+                  WHEN 4 THEN 'https://www.shop' || ks.k || '.' || p1.code || '/'
+                  WHEN 5 THEN 'http://www.shop' || ks.k || '.' || p1.ucode || '/'
+                  WHEN 6 THEN 'http://shop' || ks.k || '.' || p1.code
+                  WHEN 7 THEN 'http://' || p1.code || '.shop' || ks.k || '.' || p2.code || '/'
+                  WHEN 8 THEN 'http://www.shop' || ks.k || '.info/'
+                  WHEN 9 THEN 'http://x' || ks.k || '.' || p1.code || '/p.html'
+                  WHEN 10 THEN 'http://' || p1.code || ks.k || '.example.com/'
+                  ELSE 'http://www.shop' || ks.k || '.' || p1.code || '?q=1'
+                END AS u
+              FROM ks
+              JOIN pick p1 ON p1.m = ks.k % 8
+              JOIN pick p2 ON p2.m = (ks.k + 3) % 8
+            ),
+            scan AS (
+              SELECT k, u,
+                CASE WHEN length(u) > 9 AND substr(u, 10, 1) = '.'
+                     THEN substr(u, 8, 2) END AS precode,
+                substr(u, 8) AS tail
+              FROM built
+            ),
+            pos AS (
+              SELECT *, CASE
+                  WHEN strpos(tail, ':') > 0 THEN strpos(tail, ':') - 1
+                  WHEN strpos(tail, '/') > 0 THEN strpos(tail, '/') - 1
+                  ELSE -1 END AS j
+              FROM scan
+            ),
+            tld AS (
+              SELECT *, CASE WHEN j >= 3 AND substr(tail, j - 2, 1) = '.'
+                             THEN substr(tail, j - 1, 2) END AS tldcode
+              FROM pos
+            )
+            SELECT t.k,
+              CAST(CASE WHEN cp.idx IS NOT NULL THEN cp.idx
+                        ELSE COALESCE(ct.idx, 0) END AS BIGINT) AS country
+            FROM tld t
+            LEFT JOIN cc cp ON cp.abbr = t.precode
+            LEFT JOIN cc ct ON ct.abbr = t.tldcode
+            ORDER BY t.k
         """,
         # merge-time dedup over the durable fixture log (shared input
         # inlined as VALUES with its scan position); dedupSpiderdbList
