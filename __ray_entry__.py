@@ -951,6 +951,88 @@ def _q_media_jpeg_decode(sf_dir: str):
 
 
 
+# media_gif_decode fixture: formulaic palettes + index patterns so the
+# SQL twin can enumerate every pixel from the parameters alone
+# (lossless codec ⇒ exact prediction). palette[i] = ((pr+i*dr)%256,
+# (pg+i*dg)%256, (pb+i*db)%256); index(x,y) = (a + bx*x + cy*y) % ncol;
+# frame f>0 uses a+17*f (never decoded — only counted).
+_GIF_PARAMS = [
+    # (media_id, w, h, ncol, a, bx, cy, pr,pg,pb, dr,dg,db, interlace, nf)
+    ("gif00", 24, 16, 7, 3, 5, 11, 10, 200, 60, 31, 17, 53, 0, 1),
+    ("gif01", 17, 9, 4, 1, 2, 3, 250, 3, 7, 13, 101, 41, 0, 1),
+    ("gif02", 31, 23, 16, 9, 7, 13, 0, 128, 255, 19, 23, 29, 1, 1),
+    ("gif03", 8, 8, 2, 0, 1, 1, 255, 255, 255, 201, 201, 201, 0, 1),
+    ("gif04", 40, 32, 250, 5, 3, 7, 50, 100, 150, 3, 5, 7, 0, 1),
+    ("gif05", 12, 14, 5, 2, 4, 9, 77, 88, 99, 91, 73, 57, 1, 1),
+    ("gif06", 20, 20, 7, 3, 5, 11, 10, 200, 60, 31, 17, 53, 0, 4),
+    ("gif07", 16, 8, 16, 11, 13, 5, 210, 30, 120, 37, 43, 47, 0, 7),
+    ("gif08", 9, 27, 3, 1, 1, 2, 5, 250, 125, 83, 89, 97, 1, 2),
+    ("gif09", 64, 48, 256, 7, 11, 29, 0, 1, 2, 1, 1, 1, 0, 1),
+    ("gif10", 33, 21, 11, 6, 8, 14, 100, 50, 25, 11, 7, 3, 1, 3),
+    ("gif11", 5, 5, 2, 1, 0, 0, 0, 0, 0, 255, 254, 253, 0, 1),
+]
+
+
+def _gif_fixture():
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.media_gif import encode_gif
+
+    out = []
+    for mid, w, h, ncol, a, bx, cy, pr, pg, pb, dr, dg, db, il, nf in _GIF_PARAMS:
+        i = np.arange(ncol, dtype=np.int64)
+        pal = np.stack(
+            [(pr + i * dr) % 256, (pg + i * dg) % 256, (pb + i * db) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [
+            ((a + 17 * f + bx * x + cy * y) % ncol).astype(np.uint8)
+            for f in range(nf)
+        ]
+        out.append((mid, encode_gif(frames, pal, interlace=bool(il))))
+    return out
+
+
+def _q_media_gif_decode(sf_dir: str):
+    """Real GIF decode over map_batches, oracle-checked: the engine
+    runs the production decoder (pipelines/media_gif.decode_gif — the
+    full structure walk + variable-width LZW + interlace reorder, the
+    same kernel MediaDecodeStage dispatches on the GIF signature) over
+    real LZW streams; the SQL twin enumerates every first-frame pixel
+    from the construction parameters (palette/index formulas) — the
+    codec is lossless, so the prediction is exact and any LZW/
+    interlace/palette defect changes the sums.  n_frames pins the
+    multi-frame stream scan."""
+    import ray.data as rd
+
+    from open_source_search_engine_ray.pipelines.media_gif import decode_gif
+
+    ds = rd.from_items(
+        [{"media_id": mid, "payload": data} for mid, data in _gif_fixture()]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            img, nf = decode_gif(bytes(payload))
+            h, w, _ = img.shape
+            sm = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows.append((mid, w, h, nf, int(sm[0]), int(sm[1]), int(sm[2])))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "width", "height", "n_frames",
+                "sum_r", "sum_g", "sum_b",
+            ],
+        )
+
+    out = ds.map_batches(decode, batch_format="pandas").to_pandas()
+    for c in ("width", "height", "n_frames", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     from open_source_search_engine_ray.pipelines.media import media_features
 
@@ -1110,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_decode": _q_media_png_decode,
         "media_wav_decode": _q_media_wav_decode,
         "media_jpeg_decode": _q_media_jpeg_decode,
+        "media_gif_decode": _q_media_gif_decode,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
         # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
@@ -1452,6 +1535,14 @@ def oracle_sql() -> dict[str, str]:
     )
     _CC_PICK_VALUES = ",".join(
         f"({i},'{c}','{c.upper()}')" for i, c in enumerate(_CC_PICK)
+    )
+
+    _GIF_VALUES = ",".join(
+        "('{}',{},{},{},{},{},{},{},{},{},{},{},{},{})".format(
+            m, w, h, ncol, a, bx, cy, pr, pg, pb, dr, dg, db, nf
+        )
+        for m, w, h, ncol, a, bx, cy, pr, pg, pb, dr, dg, db, il, nf
+        in _GIF_PARAMS
     )
 
     def _sql_dcrec(centered, q00):
@@ -1903,6 +1994,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cc cp ON cp.abbr = t.precode
             LEFT JOIN cc ct ON ct.abbr = t.tldcode
             ORDER BY t.k
+        """,
+        # lossless GIF expectation: enumerate every first-frame pixel
+        # from the palette/index construction formulas — the engine
+        # must reproduce the sums from the real LZW bitstream
+        "media_gif_decode": f"""
+            WITH g(media_id, w, h, ncol, a, bx, cy, pr, pg, pb,
+                   dr, dg, db, nf) AS (VALUES {_GIF_VALUES}),
+            xs AS (SELECT *, unnest(range(0, w)) AS x FROM g),
+            ys AS (SELECT *, unnest(range(0, h)) AS y FROM xs),
+            pix AS (SELECT media_id, w, h, nf,
+                      (a + bx*x + cy*y) % ncol AS idx,
+                      pr, pg, pb, dr, dg, db
+                    FROM ys)
+            SELECT media_id,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(SUM((pr + idx*dr) % 256) AS BIGINT) AS sum_r,
+              CAST(SUM((pg + idx*dg) % 256) AS BIGINT) AS sum_g,
+              CAST(SUM((pb + idx*db) % 256) AS BIGINT) AS sum_b
+            FROM pix
+            GROUP BY media_id, w, h, nf
+            ORDER BY media_id
         """,
         # merge-time dedup over the durable fixture log (shared input
         # inlined as VALUES with its scan position); dedupSpiderdbList

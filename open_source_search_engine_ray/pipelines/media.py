@@ -374,6 +374,17 @@ class MediaDecodeStage:
             return self._image_features(decode_png(payload))
         if payload[:4] == b"RIFF":
             return self._decode_wav(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL GIF path (pure Python LZW, media_gif.py): first
+            # frame's pixels + the TRUE frame count from the stream
+            try:
+                from .media_gif import decode_gif
+
+                img, n_frames = decode_gif(payload)
+                w, h, _one, feat = self._image_features(img)
+                return w, h, n_frames, feat
+            except ValueError:
+                return self._decode_fake(payload, kind)
         if payload[:2] == b"\xff\xd8":
             # REAL baseline-JPEG path (pure numpy, media_jpeg.py);
             # progressive/arithmetic payloads raise and fall back to
