@@ -130,8 +130,10 @@ def minhash_lsh_dedup(
     # shuffle on a bounded bucket-hash partition key (not per-bucket
     # map_groups: millions of tiny LSH buckets would pay per-group
     # overhead; 64 partitions each do one local pandas groupby)
+    nparts = _n_bucket_parts()
+
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["bpart"] = (df["bucket"] % 64).astype("int64")
+        df["bpart"] = (df["bucket"] % nparts).astype("int64")
         return df
 
     exploded = exploded.map_batches(add_part, batch_format="pandas")
@@ -232,8 +234,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
 
     exploded = ds.map_batches(sigs, batch_format="pandas", batch_size=2048)
 
+    nparts = _n_bucket_parts()
+
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["bpart"] = (df["bucket"] % 64).astype("int64")
+        df["bpart"] = (df["bucket"] % nparts).astype("int64")
         return df
 
     exploded = exploded.map_batches(add_part, batch_format="pandas")
@@ -329,6 +333,22 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
     )
     out = parts.groupby("query_id", as_index=False).head(k)
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+def _n_bucket_parts() -> int:
+    """Bucket-hash shuffle width for the near-dup stages: scale with
+    the cluster (4 partitions per CPU, floor 64) instead of a fixed
+    constant — at 256 nodes a 64-way shuffle would leave most of the
+    cluster idle; results are partition-count-invariant because pairs
+    are computed per FULL bucket key inside each partition."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(64, int(ray.cluster_resources().get("CPU", 16)) * 4)
+    except Exception:
+        pass
+    return 64
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -522,6 +542,7 @@ def embedding_near_dup(
     1-(1-p^band_bits)^bands with p = 1 - arccos(c)/π (≈0.99 at c=0.95
     for 8×8; planted near-dups at c≈0.997 are found w.p. ~1)."""
     nbits = bands * band_bits
+    nparts = _n_bucket_parts()
 
     def sig(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
@@ -538,7 +559,7 @@ def embedding_near_dup(
         return pa.table(
             {
                 "bucket": pa.array(keys.ravel(), pa.uint64()),
-                "bpart": pa.array((keys.ravel() % 64).astype(np.int64)),
+                "bpart": pa.array((keys.ravel() % nparts).astype(np.int64)),
                 "vec_id": pa.array(ids[idx]),
                 "embedding": t["embedding"].take(idx),
             }
