@@ -31,6 +31,7 @@ with ``num_cpus=1`` per actor and small batches (bodies are large).
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 import pyarrow as pa
@@ -345,6 +346,15 @@ class DocConvertStage:
             text = ps_extract_text(data)
         elif ct == CT_RTF:
             text = rtf_extract_text(data)
+        elif ct == CT_DOC:
+            # antiword stand-in: CFB + FIB/piece-table text layer
+            # (functions/msdoc.py); ValueError = undecodable binary
+            try:
+                from ..functions.msdoc import doc_extract_text
+
+                text = doc_extract_text(data)
+            except (ValueError, IndexError, struct.error):
+                text = ""
         if text.strip():
             return (
                 "<html><body><p>" + _html_escape(text) + "</p></body></html>",
