@@ -15,12 +15,16 @@ Reference semantics:
   ``RLIMIT_CPU`` set in ``preexec_fn``, wall-clock timeout — resolved
   ONCE per actor in ``__init__`` (``shutil.which``), the import-try
   gating pattern the media codecs use.
-* **Built-in PDF fallback** — the sandbox has no converter binaries, so
-  CT_PDF additionally falls back to a pure-Python extractor for simple
-  PDFs (uncompressed or FlateDecode content streams, BT..ET text blocks
-  with Tj/TJ/'/" string operands).  Other binary types without their
-  binary present yield ``convert_ok=False`` rows (the reference's
-  gbfilter read-error path) — honestly gated, never silently wrong.
+* **Built-in fallbacks** — the sandbox has no converter binaries, so
+  every convertible type falls back to a pure-Python extractor:
+  CT_PDF (uncompressed or FlateDecode content streams, BT..ET text
+  blocks with Tj/TJ/'/" string operands), CT_PS (show-operator string
+  scan), CT_RTF (control-word state machine), CT_DOC (CFB + FIB/piece
+  table, functions/msdoc.py), CT_XLS (BIFF8 SST/LABEL strings) and
+  CT_PPT (TextChars/TextBytes atoms, functions/msoffice.py).
+  Undecodable payloads yield ``convert_ok=False`` rows (the
+  reference's gbfilter read-error path) — honestly gated, never
+  silently wrong.
 
 The stage is a callable class for
 ``map_batches(DocConvertStage, concurrency=N, batch_format="pyarrow")``;
@@ -353,6 +357,22 @@ class DocConvertStage:
                 from ..functions.msdoc import doc_extract_text
 
                 text = doc_extract_text(data)
+            except (ValueError, IndexError, struct.error):
+                text = ""
+        elif ct == CT_XLS:
+            # xlhtml stand-in: BIFF8 SST / LABEL strings (msoffice.py)
+            try:
+                from ..functions.msoffice import xls_extract_text
+
+                text = xls_extract_text(data)
+            except (ValueError, IndexError, struct.error):
+                text = ""
+        elif ct == CT_PPT:
+            # ppthtml stand-in: TextChars/TextBytes atoms (msoffice.py)
+            try:
+                from ..functions.msoffice import ppt_extract_text
+
+                text = ppt_extract_text(data)
             except (ValueError, IndexError, struct.error):
                 text = ""
         if text.strip():
