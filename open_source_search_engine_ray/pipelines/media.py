@@ -286,9 +286,11 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def synth_payload(media_ref: str, kind: str) -> bytes:
-    """Deterministic payload for a media ref.  Images are REAL BMP
-    bytes (procedural pattern seeded by the ref hash); video/audio
-    payloads stay opaque (their codecs need av, PIL-gated)."""
+    """Deterministic payload for a media ref.  Images are REAL encoded
+    bytes rotating BMP/PNG/JPEG by ref hash (procedural pattern);
+    audio is real RIFF PCM; "video" alternates multi-frame GIF
+    (animation — the one video-ish container with a pure-Python codec
+    here) with opaque bytes so the stub path stays exercised."""
     h = hashlib.sha256(media_ref.encode()).digest()
     if kind == "audio":
         # real PCM: a few hash-seeded sine partials, 0.1-0.6 s at 8 kHz
@@ -307,7 +309,35 @@ def synth_payload(media_ref: str, kind: str) -> bytes:
         img[:, :, 0] = (xx * h[2] + yy * h[3]) % 256
         img[:, :, 1] = (xx ^ yy) + h[4] & 0xFF
         img[:, :, 2] = (xx * xx + yy + h[5]) % 256
+        fmt = h[6] % 3
+        if fmt == 1:
+            return encode_png(img)
+        if fmt == 2:
+            from .media_jpeg import encode_jpeg
+
+            return encode_jpeg(img, quality=85)
         return encode_bmp(img)
+    if kind == "video" and h[6] % 2 == 0:
+        # real animation: multi-frame GIF, hash-seeded palette/pattern
+        from .media_gif import encode_gif
+
+        nf = 3 + h[7] % 6
+        ncol = 4 + h[8] % 12
+        i = np.arange(ncol, dtype=np.int64)
+        pal = np.stack(
+            [(h[9] + i * (1 + h[10] % 37)) % 256,
+             (h[11] + i * (1 + h[12] % 37)) % 256,
+             (h[13] + i * (1 + h[14] % 37)) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        w = 16 + h[0] % 32
+        ht = 12 + h[1] % 24
+        yy, xx = np.mgrid[0:ht, 0:w]
+        frames = [
+            ((h[2] + 7 * f + xx * h[3] + yy * h[4]) % ncol).astype(np.uint8)
+            for f in range(nf)
+        ]
+        return encode_gif(frames, pal)
     size = 256 + h[0] * 4
     reps = (size // len(h)) + 1
     return (h * reps)[:size]

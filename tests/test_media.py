@@ -70,21 +70,37 @@ def test_bmp_roundtrip_and_real_decode():
     assert (decode_bmp(encode_bmp(img)) == img).all()
     small = resize_nearest(img, 10, 7)
     assert small.shape == (7, 10, 3)
-    # stage: width/height come from the real BMP header
-    payload = synth_payload("http://x.test/real.jpg", "image")
-    assert payload[:2] == b"BM"
-    w_hdr = decode_bmp(payload).shape[1]
-    t = pa.table(
-        {
-            "doc_id": pa.array(["d"]),
-            "media_ref": pa.array(["http://x.test/real.jpg"]),
-            "kind": pa.array(["image"]),
-            "payload": pa.array([payload], pa.binary()),
-        }
+    # stage: width/height come from the real headers — synth_payload
+    # rotates BMP/PNG/JPEG by ref hash; exercise one of each
+    from open_source_search_engine_ray.pipelines.media import (
+        PNG_SIG,
+        decode_png,
     )
-    out = MediaDecodeStage()(t)
-    assert out["width"][0].as_py() == w_hdr
-    assert abs(out["feature_norm"][0].as_py() - 1.0) < 1e-3
+    from open_source_search_engine_ray.pipelines.media_jpeg import decode_jpeg
+
+    cases = {  # ref → (expected signature check, decoder)
+        "http://x.test/real1.jpg": (lambda p: p[:2] == b"BM", decode_bmp),
+        "http://x.test/real3.jpg": (lambda p: p[:8] == PNG_SIG, decode_png),
+        "http://x.test/real0.jpg": (
+            lambda p: p[:2] == b"\xff\xd8",
+            decode_jpeg,
+        ),
+    }
+    for ref, (sig_ok, dec) in cases.items():
+        payload = synth_payload(ref, "image")
+        assert sig_ok(payload), ref
+        w_hdr = dec(payload).shape[1]
+        t = pa.table(
+            {
+                "doc_id": pa.array(["d"]),
+                "media_ref": pa.array([ref]),
+                "kind": pa.array(["image"]),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+        out = MediaDecodeStage()(t)
+        assert out["width"][0].as_py() == w_hdr, ref
+        assert abs(out["feature_norm"][0].as_py() - 1.0) < 1e-3
 
 
 def test_wav_roundtrip_and_audio_decode():
