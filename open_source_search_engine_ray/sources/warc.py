@@ -166,12 +166,22 @@ def _parse_http_payload(payload: bytes):
 
 
 def write_warc(records, path: str, compress: bool = True) -> None:
-    """Write (url, html) records as a WARC file (test fixture helper)."""
+    """Write records as a WARC file (test fixture helper): each record
+    is (url, html) for text/html, or (url, body: bytes, content_type)
+    for binary documents."""
     buf = io.BytesIO()
     for r in records:
+        if "body" in r:
+            body = r["body"]
+            ctype = r.get("content_type", "application/octet-stream")
+        else:
+            body = r["html"].encode("utf-8")
+            ctype = "text/html"
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-            + r["html"].encode("utf-8")
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + ctype.encode()
+            + b"\r\n\r\n"
+            + body
         )
         head = (
             b"WARC/1.0\r\n"

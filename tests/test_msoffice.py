@@ -60,3 +60,47 @@ def test_hostile_bytes_never_hang():
                 fn(bytes(data))
             except (ValueError, IndexError):
                 pass
+
+
+def test_warc_binary_docs_convert_to_spans(tmp_path, ray_session):
+    """A WARC carrying .doc/.xls/.ppt bodies flows through
+    corpus_to_documents: DocConvertStage's pure-Python fallbacks
+    extract the text and the span parser emits it (the gbconvert.sh
+    path end-to-end, no converter binaries present)."""
+    from open_source_search_engine_ray.functions.msdoc import encode_doc
+    from open_source_search_engine_ray.sources.warc import (
+        corpus_to_documents,
+        write_warc,
+    )
+
+    records = [
+        {
+            "url": "http://x.test/report.doc",
+            "body": encode_doc("Annual report body text.", complex_doc=True),
+            "content_type": "application/msword",
+        },
+        {
+            "url": "http://x.test/sheet.xls",
+            "body": encode_xls(["Spreadsheet cell text"]),
+            "content_type": "application/vnd.ms-excel",
+        },
+        {
+            "url": "http://x.test/deck.ppt",
+            "body": encode_ppt(["Slide deck text"]),
+            "content_type": "application/vnd.ms-powerpoint",
+        },
+        {"url": "http://x.test/page.html", "html": "<p>plain page</p>"},
+    ]
+    path = str(tmp_path / "bin.warc.gz")
+    write_warc(records, path)
+    df = corpus_to_documents([path]).to_pandas()
+    texts = {
+        r["doc_id"]: " ".join(
+            s["text"] for s in r["spans"] if s["kind"] == "text"
+        )
+        for r in df.to_dict("records")
+    }
+    assert "Annual report body text." in texts["http://x.test/report.doc"]
+    assert "Spreadsheet cell text" in texts["http://x.test/sheet.xls"]
+    assert "Slide deck text" in texts["http://x.test/deck.ppt"]
+    assert "plain page" in texts["http://x.test/page.html"]
