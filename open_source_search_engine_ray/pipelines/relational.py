@@ -197,15 +197,18 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ],
     )
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
-            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
-        )
-        return df
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(prep, batch_format="pandas", batch_size=128 * 1024)
+        cutoff = pa.scalar(pd.Timestamp("1998-09-02")).cast(t["l_shipdate"].type)
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        dp = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        ch = pc.multiply(dp, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return t.append_column("disc_price", dp).append_column("charge", ch)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=128 * 1024)
     df = group_sum(
         ds,
         ["l_returnflag", "l_linestatus"],

@@ -49,18 +49,22 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def aug(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[df["doc_id"] % 3 == 0].copy()
-        c["doc_id"] += AUG_OFFSET
-        return pd.concat([df, c], ignore_index=True)
+    def aug_fp(t: pa.Table) -> pa.Table:
+        # one Arrow stage: fingerprint originals, then append the %3==0
+        # copies REUSING their fingerprints (the augmentation is an exact
+        # copy, so fp(copy) == fp(original) — the duplicated text never
+        # exists, and the Arrow->pandas round trip is gone)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fps = ts.fingerprint_batch(t["text"].to_pylist()).astype(np.uint64)
+        m = ids % 3 == 0
+        return pa.table(
+            {
+                "doc_id": np.concatenate([ids, ids[m] + AUG_OFFSET]),
+                "fp": np.concatenate([fps, fps[m]]),
+            }
+        )
 
-    ds = ds.map_batches(aug, batch_format="pandas")
-
-    def fp(df: pd.DataFrame) -> pd.DataFrame:
-        df["fp"] = ts.fingerprint_batch(df["text"].tolist()).astype("uint64")
-        return df[["doc_id", "fp"]]
-
-    ds = ds.map_batches(fp, batch_format="pandas")
+    ds = ds.map_batches(aug_fp, batch_format="pyarrow")
 
     # vectorized group-min (relational.group_agg): fingerprints are
     # ~unique per document, so Ray Data's groupby().aggregate() would hit
@@ -89,13 +93,23 @@ def _augmented_docs(sf_dir: str, frac_mod: int = 4):
     """documents ∪ near-dup copies of doc_id % frac_mod == 0."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def aug(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[df["doc_id"] % frac_mod == 0].copy()
-        c["text"] = [_perturb(t, int(d)) for t, d in zip(c["text"], c["doc_id"])]
-        c["doc_id"] += AUG_OFFSET
-        return pd.concat([df, c], ignore_index=True)
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % frac_mod == 0
+        cids = ids[m]
+        ctexts = t.filter(pa.array(m))["text"].to_pylist()
+        copies = pa.table(
+            {
+                "doc_id": pa.array(cids + AUG_OFFSET, t["doc_id"].type),
+                "text": pa.array(
+                    [_perturb(tx, int(d)) for tx, d in zip(ctexts, cids)],
+                    t["text"].type,
+                ),
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), copies])
 
-    return ds.map_batches(aug, batch_format="pandas")
+    return ds.map_batches(aug, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -105,38 +119,39 @@ def minhash_lsh_dedup(
     signature-Jaccard verify.  Returns (doc_a, doc_b, jaccard) pairs."""
     ds = _augmented_docs(sf_dir)
 
-    def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = dd.token_hashes(df["text"].tolist())
+    # shuffle on a bounded bucket-hash partition key (not per-bucket
+    # map_groups: millions of tiny LSH buckets would pay per-group
+    # overhead; each partition does one local pandas groupby)
+    nparts = _n_bucket_parts()
+    step = 8 * num_perm
+
+    def sigs(t: pa.Table) -> pa.Table:
+        flat, lens = dd.token_hashes(t["text"].to_pylist())
         sh, sh_lens = dd.shingle_hashes(flat, lens)
         sig = dd.minhash_signatures(sh, sh_lens, num_perm=num_perm)
         keys = dd.lsh_band_keys(sig, bands=bands)
-        # signatures travel the shuffle as ONE binary cell per row
-        # (Arrow binary) — an object column of numpy arrays costs a
-        # pickle per element and was the minhash shuffle's hot spot
-        raw = sig.astype("<u8", copy=False).tobytes()
-        step = 8 * num_perm
-        sig_bytes = np.empty(len(df), dtype=object)
-        sig_bytes[:] = [raw[i * step : (i + 1) * step] for i in range(len(df))]
-        return pd.DataFrame(
+        # signatures travel the shuffle as ONE fixed-size-binary cell per
+        # row (zero-copy from the repeated uint64 matrix; an object
+        # column of numpy arrays costs a pickle per element and was the
+        # minhash shuffle's hot spot); bpart rides along from the same
+        # pass — no second map_batches over the exploded rows
+        rep = np.repeat(sig.astype("<u8", copy=False), bands, axis=0)
+        sig_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(step), rep.shape[0], [None, pa.py_buffer(rep.tobytes())]
+        )
+        buckets = keys.ravel().astype(np.int64, copy=False)
+        return pa.table(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-                "bucket": keys.ravel(),
-                "sig": np.repeat(sig_bytes, bands),
+                "doc_id": np.repeat(
+                    t["doc_id"].to_numpy(zero_copy_only=False), bands
+                ),
+                "bucket": buckets,
+                "sig": sig_col,
+                "bpart": buckets % nparts,
             }
         )
 
-    exploded = ds.map_batches(sigs, batch_format="pandas", batch_size=2048)
-
-    # shuffle on a bounded bucket-hash partition key (not per-bucket
-    # map_groups: millions of tiny LSH buckets would pay per-group
-    # overhead; 64 partitions each do one local pandas groupby)
-    nparts = _n_bucket_parts()
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["bpart"] = (df["bucket"] % nparts).astype("int64")
-        return df
-
-    exploded = exploded.map_batches(add_part, batch_format="pandas")
+    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=2048)
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         # array-valued pair emission (see simhash pairs_part)
@@ -220,27 +235,25 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     ds = _augmented_docs(sf_dir)
     bands = 4
 
-    def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = dd.token_hashes(df["text"].tolist())
+    nparts = _n_bucket_parts()
+
+    def sigs(t: pa.Table) -> pa.Table:
+        flat, lens = dd.token_hashes(t["text"].to_pylist())
         sh = dd.simhash(flat, lens)
         keys = dd.simhash_band_keys(sh, bands=bands)
-        return pd.DataFrame(
+        buckets = keys.ravel().astype(np.int64, copy=False)
+        return pa.table(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-                "bucket": keys.ravel(),
+                "doc_id": np.repeat(
+                    t["doc_id"].to_numpy(zero_copy_only=False), bands
+                ),
+                "bucket": buckets,
                 "sh": np.repeat(sh, bands),
+                "bpart": buckets % nparts,
             }
         )
 
-    exploded = ds.map_batches(sigs, batch_format="pandas", batch_size=2048)
-
-    nparts = _n_bucket_parts()
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df["bpart"] = (df["bucket"] % nparts).astype("int64")
-        return df
-
-    exploded = exploded.map_batches(add_part, batch_format="pandas")
+    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=2048)
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         # pair emission is fully array-valued: per anchor row i the
