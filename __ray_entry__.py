@@ -1169,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_lines": R.q12_priority_lines,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q18_large_orders": R.q18_large_orders,
+        "q13_cust_order_dist": R.q13_cust_order_dist,
+        "q22_global_sales_opportunity": R.q22_global_sales_opportunity,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -2177,6 +2179,36 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "q13_cust_order_dist": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            ) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         # near-dup family: the sketch pipelines run in full on the Ray
         # side; the registered result is the planted-duplicate subset

@@ -678,6 +678,115 @@ def q_cust_without_orders(sf_dir: str, min_total: float = 300_000.0) -> pd.DataF
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q13_cust_order_dist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (custdist): distribution of customers by order
+    count, zero-order customers included.  Scale shape: the orders fact
+    pre-aggregates to one (custkey, c_count) row via group_agg_ds
+    (bounded hash shuffle, output stays a Dataset — never a driver
+    frame), customer LEFT-OUTER joins that result (Dataset.join hash
+    shuffle; unmatched customers surface exactly once with a null
+    count), and the final distribution is a low-cardinality rollup.
+    The filter stands in for Q13's o_comment NOT LIKE (this schema has
+    no comment column): urgent orders are excluded."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    filt = orders.filter(expr="o_orderpriority != '1-URGENT'")
+    counts = group_agg_ds(
+        filt, ["o_custkey"], {"_k": ("o_custkey", "min")}, count_col="c_count"
+    ).map_batches(
+        lambda df: df[["o_custkey", "c_count"]], batch_format="pandas"
+    )
+    j = cust.join(
+        counts, "left_outer", JOIN_PARTS, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        cc = df["c_count"].fillna(0).astype("int64")
+        g = cc.value_counts()
+        return pd.DataFrame(
+            {"c_count": g.index.to_numpy(), "n": g.to_numpy()}
+        )
+
+    parts = j.map_batches(dist, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("c_count", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "custdist"})
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def q22_global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of above-average
+    customers with no orders.  Scale shapes: the scalar subquery (avg
+    positive balance) is a two-pass broadcast — tiny per-block partial
+    (sum, n) rows, one driver scalar, pushed back down as a filter
+    constant; the NOT EXISTS is the q_cust_without_orders LEFT-OUTER
+    null-probe (unmatched rows appear exactly once).  Groups by
+    c_nationkey (this schema has no phone country code)."""
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _read(sf_dir, "customer", columns=cols)
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        s = pc.sum(f["c_acctbal"]).as_py() or 0.0
+        return pa.table(
+            {"s": pa.array([s], pa.float64()), "n": pa.array([f.num_rows], pa.int64())}
+        )
+
+    parts = cust.map_batches(
+        bal_partial, batch_format="pyarrow", batch_size=128 * 1024
+    ).to_pandas()
+    avg = float(parts["s"].sum()) / max(int(parts["n"].sum()), 1)
+
+    rich = cust.filter(expr=f"c_acctbal > {avg!r}")
+    # anti side: urgent orders only (every customer in this schema has
+    # SOME order, so the classic "no orders at all" Q22 predicate is
+    # degenerate — empty at every sf)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.select(["o_custkey"]).append_column(
+            "hit", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").map_batches(
+        mark, batch_format="pyarrow"
+    )
+    j = rich.join(
+        urgent,
+        "left_outer",
+        JOIN_PARTS,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        anti = df[df["hit"].isna()]
+        return anti.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum")
+        )
+
+    parts2 = j.map_batches(roll, batch_format="pandas").to_pandas()
+    if parts2.empty:  # zero-row datasets lose their schema in to_pandas
+        parts2 = pd.DataFrame(
+            {"c_nationkey": pd.Series([], dtype="int64"),
+             "numcust": pd.Series([], dtype="int64"),
+             "totacctbal": pd.Series([], dtype="float64")}
+        )
+    out = parts2.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum")
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based sampling (seeded sampling at scale must
     be content-derived, not RNG-per-row, so reruns and the oracle
