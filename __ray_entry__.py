@@ -1171,6 +1171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": R.q18_large_orders,
         "q13_cust_order_dist": R.q13_cust_order_dist,
         "q22_global_sales_opportunity": R.q22_global_sales_opportunity,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -2193,6 +2195,30 @@ def oracle_sql() -> dict[str, str]:
             ) t
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND l.l_quantity < 0.2 * (
+                  SELECT AVG(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey
+              )
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey,

@@ -787,6 +787,99 @@ def q22_global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, then the supplier(s) hitting the global max.  Scale shape:
+    Arrow-native filter+project, supplier-cardinality group_sum
+    (partial agg per block; suppliers are a dimension, so the combined
+    frame is dimension-sized), a driver scalar max, and a broadcast
+    dimension probe for the names — no shuffle anywhere."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pa.scalar(pd.Timestamp("1996-01-01")).cast(t["l_shipdate"].type)
+        hi = pa.scalar(pd.Timestamp("1996-04-01")).cast(t["l_shipdate"].type)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+            )
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+
+    ds = li.map_batches(prep, batch_format="pyarrow", batch_size=128 * 1024)
+    per = group_sum(ds, ["l_suppkey"], {"total_revenue": "rev"})
+    per["total_revenue"] = per["total_revenue"].round(2)
+    top = per[per["total_revenue"] == per["total_revenue"].max()]
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .to_pandas()
+    )
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "total_revenue"]
+    ]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small-quantity orders of one brand's parts went
+    unfilled.  The correlated scalar subquery (per-part avg quantity)
+    decorrelates into two passes over the brand's lineitems: a
+    dimension probe broadcasts the brand's partkeys (ray.put once),
+    pass 1 builds per-part (sum, n) quantity partials (brand-sized
+    rollup), the driver folds them into a per-part 0.2*avg threshold
+    map which broadcasts back for pass 2's filtered revenue partial.
+    Zero shuffles; everything that moves is brand-dimension-sized."""
+    import ray
+
+    pk = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        .filter(expr=f"p_brand == {brand!r}")
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    pk_ref = ray.put(set(int(k) for k in pk))
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = bget(pk_ref)
+        sub = df[df["l_partkey"].isin(keys)]
+        g = sub.groupby("l_partkey", as_index=False).agg(
+            s=("l_quantity", "sum"), n=("l_quantity", "size")
+        )
+        return g
+
+    parts = li.map_batches(qty_partial, batch_format="pandas", batch_size=128 * 1024).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"avg_yearly": [None]})
+    per = parts.groupby("l_partkey", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+    thresh = dict(zip(per["l_partkey"], 0.2 * per["s"] / per["n"]))
+    th_ref = ray.put(thresh)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        th = bget(th_ref)
+        lim = df["l_partkey"].map(th)
+        keep = df["l_quantity"] < lim.fillna(-1.0)
+        return pd.DataFrame({"s": [float(df.loc[keep, "l_extendedprice"].sum())]})
+
+    tot = (
+        li.map_batches(rev_partial, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()["s"]
+        .sum()
+    )
+    return pd.DataFrame({"avg_yearly": [round(tot / 7.0, 2)]})
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based sampling (seeded sampling at scale must
     be content-derived, not RNG-per-row, so reruns and the oracle
