@@ -1173,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_global_sales_opportunity": R.q22_global_sales_opportunity,
         "q15_top_supplier": R.q15_top_supplier,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q21_sole_returned_supplier": R.q21_sole_returned_supplier,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -2219,6 +2220,25 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey
               )
+        """,
+        "q21_sole_returned_supplier": """
+            WITH ps AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS ret
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), st AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(ret) AS n_ret
+                FROM ps GROUP BY l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM ps
+            JOIN st USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            WHERE ps.ret = 1 AND st.n_supp >= 2 AND st.n_ret = 1
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY numwait DESC, s.s_suppkey
+            LIMIT 20
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey,

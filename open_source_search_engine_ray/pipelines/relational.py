@@ -880,6 +880,59 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
     return pd.DataFrame({"avg_yearly": [round(tot / 7.0, 2)]})
 
 
+def q21_sole_returned_supplier(sf_dir: str, topn: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the multi-supplier orders where THAT supplier returned a
+    line (l_returnflag = 'R') and no other supplier on the order did —
+    the fact-table self-semi-join + self-anti-join shape (the schema
+    has no commit/receipt dates; returnflag stands in for lateness).
+    Scale shape: one pass dedups lineitem to (orderkey, suppkey,
+    returned) partials, a bounded bucket-hash shuffle on orderkey
+    colocates each order (same invariant-7-safe shape as group_agg_ds
+    — the groupby sees num_buckets groups, not one per order), the
+    per-order semi/anti logic is a vectorized pandas reduction, and
+    the per-supplier counts that leave the shuffle are
+    dimension-sized."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    nbuckets = 64
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ret=(df["l_returnflag"] == "R"))
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            ret=("ret", "max")
+        )
+        g["_gb"] = (g["l_orderkey"] % nbuckets).astype("int64")
+        return g
+
+    part = li.map_batches(pairs, batch_format="pandas", batch_size=128 * 1024)
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # blocks may each have seen the same (order, supplier): re-dedup
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            ret=("ret", "max")
+        )
+        st = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_ret=("ret", "sum")
+        )
+        ok = st[(st["n_supp"] >= 2) & (st["n_ret"] == 1)].index
+        win = g[g["ret"] & g["l_orderkey"].isin(ok)]
+        c = win.groupby("l_suppkey", as_index=False).size()
+        return c.rename(columns={"size": "numwait"})
+
+    parts = part.groupby("_gb").map_groups(per_order, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_suppkey", as_index=False)["numwait"].sum()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(supp, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "numwait"]
+    ]
+    out["numwait"] = out["numwait"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out = out.sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True]
+    ).head(topn)
+    return out.reset_index(drop=True)
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based sampling (seeded sampling at scale must
     be content-derived, not RNG-per-row, so reruns and the oracle
