@@ -1174,6 +1174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q21_sole_returned_supplier": R.q21_sole_returned_supplier,
+        "q16_supplier_variety": R.q16_supplier_variety,
+        "q19_discounted_revenue": R.q19_discounted_revenue,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -2220,6 +2222,25 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey
               )
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_size >= 42 AND l_quantity >= 30
+            GROUP BY p_brand, p_size
+            ORDER BY p_brand, p_size
+        """,
+        "q19_discounted_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0.0), 2)
+                       AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "q21_sole_returned_supplier": """
             WITH ps AS (

@@ -880,6 +880,109 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
     return pd.DataFrame({"avg_yearly": [round(tot / 7.0, 2)]})
 
 
+def q16_supplier_variety(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (grouped COUNT DISTINCT): distinct suppliers
+    shipping big-quantity lines of large parts, per (brand, size).
+    Scale shape: the part dimension broadcasts ONCE as dense numpy
+    arrays indexed by partkey (ray.put; partkeys are dense small
+    ints), each lineitem batch maps to (brand, size, suppkey) with a
+    per-block dedup, the global dedup is the bounded bucket-hash
+    shuffle of group_agg_ds, and the final distinct-count is a
+    dimension-sized rollup — the canonical two-level distinct."""
+    import ray
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    npk = int(part["p_partkey"].max()) + 1
+    brands = np.zeros(npk, dtype=object)
+    brands[part["p_partkey"].to_numpy()] = part["p_brand"].to_numpy()
+    sizes = np.zeros(npk, dtype=np.int32)
+    sizes[part["p_partkey"].to_numpy()] = part["p_size"].to_numpy()
+    dim_ref = ray.put((brands, sizes))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        b, s = bget(dim_ref)
+        pk = df["l_partkey"].to_numpy()
+        keep = (s[pk] >= 42) & (df["l_quantity"].to_numpy() >= 30)
+        sub = pd.DataFrame(
+            {
+                "p_brand": b[pk[keep]],
+                "p_size": s[pk[keep]].astype("int64"),
+                "l_suppkey": df["l_suppkey"].to_numpy()[keep],
+            }
+        )
+        return sub.drop_duplicates()
+
+    pairs = li.map_batches(probe, batch_format="pandas", batch_size=128 * 1024)
+    dedup = group_agg_ds(
+        pairs,
+        ["p_brand", "p_size", "l_suppkey"],
+        {"_one": ("l_suppkey", "min")},
+    )
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "p_size"], as_index=False).size()
+        return g.rename(columns={"size": "supplier_cnt"})
+
+    parts = dedup.map_batches(cnt, batch_format="pandas").to_pandas()
+    # group_agg_ds buckets by the FULL key, so one (brand, size) can
+    # straddle buckets: re-sum the per-bucket counts
+    out = parts.groupby(["p_brand", "p_size"], as_index=False)["supplier_cnt"].sum()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate probe): revenue over an
+    OR of (brand, size-range, quantity-range) conjunctions.  Scale
+    shape: part attrs broadcast once as dense partkey-indexed numpy
+    arrays; each batch evaluates the whole disjunction as three
+    vectorized masks — zero shuffle, zero join."""
+    import ray
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    npk = int(part["p_partkey"].max()) + 1
+    brands = np.zeros(npk, dtype=object)
+    brands[part["p_partkey"].to_numpy()] = part["p_brand"].to_numpy()
+    sizes = np.zeros(npk, dtype=np.int32)
+    sizes[part["p_partkey"].to_numpy()] = part["p_size"].to_numpy()
+    dim_ref = ray.put((brands, sizes))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        b, s = bget(dim_ref)
+        pk = df["l_partkey"].to_numpy()
+        qty = df["l_quantity"].to_numpy()
+        bb, ss = b[pk], s[pk]
+        m = (
+            ((bb == "Brand#12") & (ss >= 1) & (ss <= 5) & (qty >= 1) & (qty <= 11))
+            | ((bb == "Brand#23") & (ss >= 1) & (ss <= 10) & (qty >= 10) & (qty <= 20))
+            | ((bb == "Brand#34") & (ss >= 1) & (ss <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        v = (
+            df["l_extendedprice"].to_numpy()[m]
+            * (1.0 - df["l_discount"].to_numpy()[m])
+        ).sum()
+        return pd.DataFrame({"s": [float(v)]})
+
+    tot = (
+        li.map_batches(rev, batch_format="pandas", batch_size=128 * 1024)
+        .to_pandas()["s"]
+        .sum()
+    )
+    return pd.DataFrame({"revenue": [round(tot, 2)]})
+
+
 def q21_sole_returned_supplier(sf_dir: str, topn: int = 20) -> pd.DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
     supplier, the multi-supplier orders where THAT supplier returned a
