@@ -1179,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
+        "stratified_sample": T.stratified_sample,
         "token_counts": T.token_counts,
         "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
@@ -2222,6 +2223,17 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey
               )
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            ) t WHERE rn <= 50
+            ORDER BY lang, doc_id
         """,
         "q16_supplier_variety": """
             SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,

@@ -1213,3 +1213,41 @@ def clean_corpus(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "n_docs", "sum_tokens"]].sort_values("lang").reset_index(
         drop=True
     )
+
+
+def stratified_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic per-language stratified sample: the ``k`` docs
+    with the smallest multiplicative hash of doc_id per lang — the
+    balanced-subsample op of a training-data pipeline (per-class
+    quotas).  Sampling at scale must be content-derived, not
+    RNG-per-row, so reruns, retried tasks, and the SQL oracle agree
+    (same rule as relational.q_sample).
+
+    Scale shape: distributed per-group top-k — each block emits at
+    most k rows per lang (vectorized sort+head, no Python loop), so
+    the driver combine is bounded by k x n_langs x n_blocks, never by
+    input rows; the final exact top-k is correct because a global
+    top-k row is a top-k row of its own block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        sub = pd.DataFrame(
+            {"lang": df["lang"], "doc_id": df["doc_id"], "h": h.astype("int64")}
+        )
+        return (
+            sub.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
+    allp = parts.to_pandas()
+    out = (
+        allp.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(k)[["lang", "doc_id"]]
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
