@@ -1140,6 +1140,7 @@ def _q_cold_start(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from open_source_search_engine_ray.pipelines import media as M
     from open_source_search_engine_ray.pipelines import relational as R
     from open_source_search_engine_ray.pipelines import training as T
 
@@ -1201,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_decode": _q_media_wav_decode,
         "media_jpeg_decode": _q_media_jpeg_decode,
         "media_gif_decode": _q_media_gif_decode,
+        "media_caption_pairs": M.media_caption_pairs,
         # crawl operators (reference-semantics; stateful-streaming ones
         # are rows-only here with oracle equality in
         # tests/test_crawl_e2e.py; the pure kernels — uh48, urlfilter,
@@ -1587,6 +1589,22 @@ def oracle_sql() -> dict[str, str]:
     _SPAN_VALUES = ",".join(
         f"('{_rweb.page_url(i, p)}',{len(_rweb.page_spans(i, p))})"
         for i, p in _rweb.iter_pages()
+    )
+
+    # media_caption_pairs expectation oracle: the generator-side span
+    # table is fixture INPUT (same trust structure as crawl_span_parse);
+    # the SQL restates nearest-text-span selection as a window over the
+    # media x text self-join with the tie -> preceding rule
+    _CAP_VALUES = ",".join(
+        "('{}',{},'{}','{}','{}')".format(
+            _rweb.page_url(i, p).replace("'", "''"),
+            s["offset"],
+            s["kind"],
+            s["text"].replace("'", "''"),
+            s["media_ref"].replace("'", "''"),
+        )
+        for i, p in _rweb.iter_pages()
+        for s in _rweb.page_spans(i, p)
     )
 
 
@@ -2223,6 +2241,28 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey
               )
+        """,
+        "media_caption_pairs": f"""
+            WITH s(doc_id, off, kind, text, media_ref) AS (
+                VALUES {_CAP_VALUES}
+            ), m AS (
+                SELECT * FROM s WHERE kind IN ('image', 'video')
+            ), t AS (
+                SELECT doc_id, off AS toff, text AS caption
+                FROM s WHERE kind = 'text'
+            ), j AS (
+                SELECT m.doc_id, m.off, m.kind, m.media_ref, t.caption,
+                       ABS(m.off - t.toff) AS d,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY m.doc_id, m.off
+                           ORDER BY ABS(m.off - t.toff), t.toff
+                       ) AS rn
+                FROM m JOIN t ON t.doc_id = m.doc_id
+            )
+            SELECT doc_id, CAST(off AS BIGINT) AS m_offset, kind, media_ref,
+                   caption, CAST(d AS BIGINT) AS dist
+            FROM j WHERE rn = 1
+            ORDER BY doc_id, m_offset
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

@@ -551,3 +551,73 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     )
     df = out.drop_columns(["feature"]).to_pandas()
     return df.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def media_caption_pairs(sf_dir: str) -> pd.DataFrame:
+    """Image/video-caption pair extraction over INTERLEAVED text+media
+    documents — the multimodal-training op the interleaved span layout
+    exists for: each media span pairs with the nearest text span by
+    offset distance (tie -> the PRECEDING text span, the usual
+    caption-before-figure reading order); media in docs with no text
+    span is dropped.
+
+    Scale shape: doc-local and fully vectorized ACROSS docs — spans
+    flatten to batch-wide Arrow children, a (doc_idx << 32 | offset)
+    key makes one searchsorted resolve every media span's neighboring
+    text spans in the whole batch at once (no per-doc Python loop).
+    (sf_dir is unused for sizing; the corpus is the deterministic
+    synthetic web, same as media_features.)"""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..sources.synthweb import SynthWeb, WebConfig
+
+    web = SynthWeb(WebConfig(n_hosts=30, n_hubs=2, hub_pages=12, max_pages=6))
+    ds = rd.from_arrow(web.documents_table())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        lens = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+        off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (doc_idx << np.int64(32)) | off
+        is_t = kind == "text"
+        is_m = (kind == "image") | (kind == "video")
+        tkey = key[is_t]
+        mkey = key[is_m]
+        m_doc = doc_idx[is_m]
+        pos = np.searchsorted(tkey, mkey)
+        prev_i = np.clip(pos - 1, 0, max(len(tkey) - 1, 0))
+        next_i = np.clip(pos, 0, max(len(tkey) - 1, 0))
+        if len(tkey):
+            prev_ok = (pos > 0) & ((tkey[prev_i] >> np.int64(32)) == m_doc)
+            next_ok = (pos < len(tkey)) & ((tkey[next_i] >> np.int64(32)) == m_doc)
+        else:
+            prev_ok = next_ok = np.zeros(len(mkey), bool)
+        d_prev = np.where(prev_ok, mkey - tkey[prev_i], np.int64(1) << 40)
+        d_next = np.where(next_ok, tkey[next_i] - mkey, np.int64(1) << 40)
+        use_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+        keep = prev_ok | next_ok
+        chosen = np.where(use_prev, prev_i, next_i)[keep]
+        t_rows = np.flatnonzero(is_t)
+        m_rows = np.flatnonzero(is_m)[keep]
+        texts = np.asarray(flat.field("text").to_pylist(), dtype=object)
+        refs = np.asarray(flat.field("media_ref").to_pylist(), dtype=object)
+        doc_ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_idx[m_rows]], pa.string()),
+                "m_offset": pa.array(off[m_rows]),
+                "kind": pa.array(kind[m_rows], pa.string()),
+                "media_ref": pa.array(refs[m_rows], pa.string()),
+                "caption": pa.array(texts[t_rows[chosen]], pa.string()),
+                "dist": pa.array(
+                    np.where(use_prev, d_prev, d_next)[keep].astype(np.int64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=256).to_pandas()
+    return out.sort_values(["doc_id", "m_offset"]).reset_index(drop=True)
