@@ -1177,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_returned_supplier": R.q21_sole_returned_supplier,
         "q16_supplier_variety": R.q16_supplier_variety,
         "q19_discounted_revenue": R.q19_discounted_revenue,
+        "q8_market_share": R.q8_market_share,
         # training-data ops
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
@@ -2274,6 +2275,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) t WHERE rn <= 50
             ORDER BY lang, doc_id
+        """,
+        "q8_market_share": """
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS total_rev,
+                   ROUND(SUM(CASE WHEN s.s_nationkey = (
+                                 SELECT n_nationkey FROM nation
+                                 WHERE n_name = 'NATION_2')
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                         / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+                         AND r.r_name = 'ASIA'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY o_year
+            ORDER BY o_year
         """,
         "q16_supplier_variety": """
             SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,

@@ -409,6 +409,83 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q8_market_share(
+    sf_dir: str, region: str = "ASIA", nation: str = "NATION_2"
+) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): among orders placed by
+    customers of one REGION, the share of lineitem revenue supplied by
+    one NATION, per order year.  The conditional-ratio-after-join-chain
+    shape: supplier membership rides the lineitem partial as a
+    conditional sum (never a join — supplier is a broadcast dict),
+    customer region membership filters through the size-adaptive join
+    like q5, and the final year rollup is low-cardinality."""
+    import ray
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+    target_nkey = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    target_supps = set(
+        supp.loc[supp["s_nationkey"] == target_nkey, "s_suppkey"].astype(int)
+    )
+    rn_ref = ray.put(region_nations)
+    ts_ref = ray.put(target_supps)
+
+    def cust_in_region(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["c_nationkey"].isin(bget(rn_ref))
+        return df.loc[keep, ["c_custkey"]]
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_in_region, batch_format="pandas"
+    )
+
+    def order_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_custkey": df["o_custkey"],
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_year, batch_format="pandas", batch_size=128 * 1024)
+    ords = sized_inner_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "o_year"]
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        tgt = df["l_suppkey"].isin(bget(ts_ref)).to_numpy()
+        return (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"],
+                    "rev": rev,
+                    "rev_t": np.where(tgt, rev, 0.0),
+                }
+            )
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=128 * 1024)
+    j = sized_inner_join(li, ords, "l_orderkey", "o_orderkey")
+    out = group_sum(j, ["o_year"], {"rev": "rev", "rev_t": "rev_t"})
+    out["mkt_share"] = (out["rev_t"] / out["rev"]).round(6)
+    out["rev"] = out["rev"].round(2)
+    out = out.drop(columns=["rev_t"]).rename(columns={"rev": "total_rev"})
+    out["o_year"] = out["o_year"].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
     """orders groupby custkey → top-20 by spend, joined to names
     (broadcast dimension join)."""
