@@ -1182,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "clean_corpus": T.clean_corpus,
         "stratified_sample": T.stratified_sample,
+        "pack_documents": T.pack_documents,
         "token_counts": T.token_counts,
         "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
@@ -2264,6 +2265,31 @@ def oracle_sql() -> dict[str, str]:
                    caption, CAST(d AS BIGINT) AS dist
             FROM j WHERE rn = 1
             ORDER BY doc_id, m_offset
+        """,
+        "pack_documents": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, n_chars,
+                       CAST(doc_id % 64 AS BIGINT) AS bucket,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id % 64 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ), pack AS (
+                SELECT bucket, rn, doc_id,
+                       CAST(0 AS BIGINT) AS bin,
+                       CAST(n_chars AS BIGINT) AS acc
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.bucket, d.rn, d.doc_id,
+                       CASE WHEN p.acc + d.n_chars > 4096
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.acc + d.n_chars > 4096
+                            THEN CAST(d.n_chars AS BIGINT)
+                            ELSE p.acc + d.n_chars END
+                FROM pack p
+                JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, bin FROM pack ORDER BY doc_id
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

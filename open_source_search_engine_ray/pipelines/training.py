@@ -1251,3 +1251,50 @@ def stratified_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
     )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def pack_documents(sf_dir: str, budget: int = 4096, n_buckets: int = 64) -> pd.DataFrame:
+    """Sequence packing — the LLM-training-data op that fills fixed
+    context budgets: next-fit packing of documents (by n_chars) into
+    bins of ``budget`` chars, processed as ``n_buckets`` independent
+    deterministic streams (doc_id % n_buckets, doc_id-ordered within
+    a stream).  Global packing is inherently sequential; sharding the
+    stream is the scale form — each bucket packs independently and
+    bin ids are (bucket, bin) pairs, so a 100 TB corpus packs as
+    n_buckets parallel scans with no cross-worker state.  A doc
+    longer than the budget gets its own bin (classic next-fit).
+
+    Scale shape: one bounded bucket-hash shuffle (same invariant-7
+    shape as group_agg_ds), then ONE ordered linear pass per bucket —
+    the per-row loop is the op's true data dependency, not an
+    accident, and it touches two ints per row."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "n_chars"]].copy()
+        df["bucket"] = (df["doc_id"] % n_buckets).astype("int64")
+        return df
+
+    part = ds.map_batches(add_bucket, batch_format="pandas", batch_size=128 * 1024)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sizes = g["n_chars"].to_numpy().astype(np.int64)
+        bins = np.empty(len(g), dtype=np.int64)
+        acc = 0
+        b = 0
+        for i, n in enumerate(sizes):
+            if i and acc + n > budget:
+                b += 1
+                acc = int(n)
+            else:
+                acc += int(n)
+            bins[i] = b
+        return pd.DataFrame(
+            {"doc_id": ids, "bucket": g["bucket"].to_numpy(), "bin": bins}
+        )
+
+    out = part.groupby("bucket").map_groups(pack, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_id": "int64", "bucket": "int64", "bin": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
