@@ -1183,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": T.clean_corpus,
         "stratified_sample": T.stratified_sample,
         "pack_documents": T.pack_documents,
+        "decontaminate": T.decontaminate,
         "token_counts": T.token_counts,
         "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
@@ -2265,6 +2266,28 @@ def oracle_sql() -> dict[str, str]:
                    caption, CAST(d AS BIGINT) AS dist
             FROM j WHERE rn = 1
             ORDER BY doc_id, m_offset
+        """,
+        "decontaminate": """
+            WITH tr AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE source <> 'src0'
+            ), ev AS (
+                SELECT doc_id AS eval_doc, string_split(text, ' ') AS t
+                FROM documents WHERE source = 'src0'
+            ), trs AS (
+                SELECT doc_id, UNNEST(list_distinct(list_transform(
+                    range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+                FROM tr
+            ), evs AS (
+                SELECT eval_doc, UNNEST(list_distinct(list_transform(
+                    range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+                FROM ev
+            )
+            SELECT DISTINCT trs.doc_id, evs.eval_doc
+            FROM trs JOIN evs USING (sh)
+            ORDER BY doc_id, eval_doc
         """,
         "pack_documents": """
             WITH RECURSIVE d AS (

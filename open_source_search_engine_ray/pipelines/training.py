@@ -1298,3 +1298,58 @@ def pack_documents(sf_dir: str, budget: int = 4096, n_buckets: int = 64) -> pd.D
     out = part.groupby("bucket").map_groups(pack, batch_format="pandas").to_pandas()
     out = out.astype({"doc_id": "int64", "bucket": "int64", "bin": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def decontaminate(sf_dir: str, eval_source: str = "src0", k: int = 3) -> pd.DataFrame:
+    """Train-test decontamination: every (train_doc, eval_doc) pair
+    sharing a k-token shingle, with the eval split defined by
+    ``source == eval_source``.  The benchmark-leak scan every serious
+    LLM data pipeline runs before training.
+
+    Scale shape: the EVAL side is small by definition (benchmarks vs
+    a 100 TB train corpus), so its shingle->doc_ids index broadcasts
+    once (ray.put) and the train corpus streams through one
+    map_batches probe — no shuffle, no join, corpus never moves.
+    Shingles here are literal token trigrams to stay bit-equal to the
+    SQL twin; at real scale the same pipeline runs on 64-bit shingle
+    hashes (functions/dedup.shingle_hashes) with identical structure."""
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _shingles(text: str) -> set:
+        t = text.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    ev = docs.filter(expr=f"source == {eval_source!r}").to_pandas()
+    index: dict = {}
+    for d, tx in zip(ev["doc_id"], ev["text"]):
+        for sh in _shingles(tx):
+            index.setdefault(sh, []).append(int(d))
+    ref = ray.put(index)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        idx = _ray.get(ref)
+        sub = df[df["source"] != eval_source]
+        out_a: list = []
+        out_b: list = []
+        for d, tx in zip(sub["doc_id"], sub["text"]):
+            hits: set = set()
+            for sh in _shingles(tx):
+                evs = idx.get(sh)
+                if evs:
+                    hits.update(evs)
+            if hits:
+                out_a.extend([int(d)] * len(hits))
+                out_b.extend(sorted(hits))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_a, dtype="int64"),
+                "eval_doc": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    out = docs.map_batches(probe, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values(["doc_id", "eval_doc"]).reset_index(drop=True)
