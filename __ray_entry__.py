@@ -1184,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": T.stratified_sample,
         "pack_documents": T.pack_documents,
         "decontaminate": T.decontaminate,
+        "redact_pii": T.redact_pii,
         "token_counts": T.token_counts,
         "words_alnum_counts": T.words_alnum_counts,
         "quality_scores": T.quality_scores,
@@ -2266,6 +2267,42 @@ def oracle_sql() -> dict[str, str]:
                    caption, CAST(d AS BIGINT) AS dist
             FROM j WHERE rn = 1
             ORDER BY doc_id, m_offset
+        """,
+        "redact_pii": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                           || '@example.com from 10.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.1 call +1555'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS t
+                FROM documents
+            ), r1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS c1,
+                       regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+',
+                                      '<EMAIL>', 'g') AS t
+                FROM planted
+            ), r2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t,
+                           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS c2,
+                       regexp_replace(t,
+                           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
+                           '<IP>', 'g') AS t
+                FROM r1
+            ), r3 AS (
+                SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t, '\\+\\d{8,13}')) AS c3,
+                       regexp_replace(t, '\\+\\d{8,13}', '<PHONE>', 'g') AS t
+                FROM r2
+            )
+            SELECT doc_id, t AS redacted,
+                   CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
+            FROM r3 ORDER BY doc_id
         """,
         "decontaminate": """
             WITH tr AS (

@@ -1353,3 +1353,49 @@ def decontaminate(sf_dir: str, eval_source: str = "src0", k: int = 3) -> pd.Data
 
     out = docs.map_batches(probe, batch_format="pandas", batch_size=4096).to_pandas()
     return out.sort_values(["doc_id", "eval_doc"]).reset_index(drop=True)
+
+
+def redact_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction — the scrubbing stage of a training-data
+    pipeline: emails, IPv4 literals, and international phone numbers
+    replaced by type tags, applied in a fixed order (email -> ip ->
+    phone).  The fixture corpus is token soup with no organic PII, so
+    docs with doc_id % 7 == 0 get a deterministic planted contact
+    line (the SQL twin plants the identical line and re-runs the same
+    regexes via RE2 — the patterns use only character classes and
+    bounded repeats, the dialect-neutral subset).
+
+    Scale shape: embarrassingly parallel map_batches; the regexes
+    compile once per worker (module-level), counts and replacement
+    run on pandas' vectorized str kernels."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pats = [
+        (_re.compile(r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"), "<EMAIL>"),
+        (_re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"), "<IP>"),
+        (_re.compile(r"\+\d{8,13}"), "<PHONE>"),
+    ]
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        txt = df["text"].copy()
+        m = ids % 7 == 0
+        plant = pd.Series(
+            [
+                f" contact u{d}@example.com from 10.{d % 256}.0.1 call +1555{d % 10000:04d}"
+                for d in ids[m]
+            ],
+            index=txt.index[m],
+        )
+        txt.loc[m] = txt.loc[m] + plant
+        n_pii = pd.Series(np.zeros(len(df), dtype=np.int64), index=txt.index)
+        for rx, tag in pats:
+            n_pii += txt.str.count(rx)
+            txt = txt.str.replace(rx, tag, regex=True)
+        return pd.DataFrame(
+            {"doc_id": ids, "redacted": txt, "n_pii": n_pii.astype("int64")}
+        )
+
+    out = ds.map_batches(scrub, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
