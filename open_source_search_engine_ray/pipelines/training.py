@@ -113,7 +113,11 @@ def _augmented_docs(sf_dir: str, frac_mod: int = 4):
 
 
 def minhash_lsh_dedup(
-    sf_dir: str, num_perm: int = 64, bands: int = 32, threshold: float = 0.4
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.4,
+    sig_batch: int = 256,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-groupby→
     signature-Jaccard verify.  Returns (doc_a, doc_b, jaccard) pairs."""
@@ -151,7 +155,12 @@ def minhash_lsh_dedup(
             }
         )
 
-    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=2048)
+    # sig_batch: the sig stage is CPU-per-doc-heavy, so batch_size sets
+    # its task granularity — at fixture scale (one input block) 256
+    # rows/task keeps all cores busy (measured 2.5 s -> 1.4 s vs 2048;
+    # 128 regresses on per-call overhead); at corpus scale the input
+    # block count itself provides the parallelism
+    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=sig_batch)
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         # array-valued pair emission (see simhash pairs_part)
@@ -253,7 +262,9 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
             }
         )
 
-    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=2048)
+    # 256 rows/task: same task-granularity reasoning as the minhash sig
+    # stage (the tokenize+simhash kernel dominates per row)
+    exploded = ds.map_batches(sigs, batch_format="pyarrow", batch_size=256)
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         # pair emission is fully array-valued: per anchor row i the
