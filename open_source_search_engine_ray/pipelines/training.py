@@ -1278,7 +1278,11 @@ def pack_documents(sf_dir: str, budget: int = 4096, n_buckets: int = 64) -> pd.D
     Scale shape: one bounded bucket-hash shuffle (same invariant-7
     shape as group_agg_ds), then ONE ordered linear pass per bucket —
     the per-row loop is the op's true data dependency, not an
-    accident, and it touches two ints per row."""
+    accident, and it touches two ints per row.  The returned per-doc
+    assignment frame is corpus-sized — forced by the queries()
+    DataFrame contract; the 100 TB form writes each bucket's
+    assignments straight back to storage from its map_groups task
+    (drop the .to_pandas, add write_parquet) and returns a rollup."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1378,7 +1382,9 @@ def redact_pii(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: embarrassingly parallel map_batches; the regexes
     compile once per worker (module-level), counts and replacement
-    run on pandas' vectorized str kernels."""
+    run on pandas' vectorized str kernels.  Returning the redacted
+    corpus as a DataFrame is queries()-contract-forced; the 100 TB
+    form is map_batches -> write_parquet, never a driver gather."""
     import re as _re
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
